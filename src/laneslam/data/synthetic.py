@@ -1,0 +1,154 @@
+"""Synthetic 3D scene generator: the backbone of property/convergence tests
+and the no-external-data integration path (SURVEY.md §4.2).
+
+Generates a deterministic world of 3D points and 3D line segments plus a
+smooth camera trajectory, and renders images by drawing the projected
+segments — so the *real* LSD/LBD/match/BA pipeline can run end-to-end with
+known ground truth and zero external data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+
+from laneslam.geometry.camera import Camera
+
+
+@dataclass(frozen=True)
+class SyntheticScene:
+    """A deterministic world + trajectory, all numpy (host-side fixture)."""
+
+    points: np.ndarray  # (P, 3)
+    segments: np.ndarray  # (L, 2, 3) endpoint pairs
+    poses_wc: np.ndarray  # (F, 4, 4) camera-to-world per frame
+    cam: Camera
+
+
+def make_corridor_scene(
+    seed: int = 0,
+    num_frames: int = 30,
+    num_points: int = 300,
+    num_lines: int = 80,
+    cam: Camera | None = None,
+) -> SyntheticScene:
+    """A corridor-like scene: structured lines along walls + random points.
+
+    The camera moves forward with small rotations — KITTI-like motion.
+    """
+    rng = np.random.default_rng(seed)
+    cam = cam or Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480)
+
+    length = 4.0 * num_frames * 0.15 + 30.0
+    # Points on two walls (x = ±4) and scattered.
+    pts = []
+    for xw in (-4.0, 4.0):
+        n = num_points // 3
+        pts.append(
+            np.stack(
+                [
+                    np.full(n, xw) + rng.normal(0, 0.2, n),
+                    rng.uniform(-2, 2, n),
+                    rng.uniform(0.5, length, n),
+                ],
+                axis=-1,
+            )
+        )
+    n = num_points - 2 * (num_points // 3)
+    pts.append(
+        np.stack(
+            [rng.uniform(-3, 3, n), rng.uniform(-2, 2, n), rng.uniform(0.5, length, n)],
+            axis=-1,
+        )
+    )
+    points = np.concatenate(pts, axis=0).astype(np.float32)
+
+    # Lines: vertical/horizontal structure on the walls.
+    segs = []
+    for _ in range(num_lines):
+        xw = rng.choice([-4.0, 4.0])
+        z0 = rng.uniform(1.0, length)
+        if rng.random() < 0.5:  # vertical
+            y0 = rng.uniform(-2, 1)
+            p1 = [xw, y0, z0]
+            p2 = [xw, y0 + rng.uniform(0.8, 2.0), z0]
+        else:  # along corridor
+            y0 = rng.uniform(-2, 2)
+            p1 = [xw, y0, z0]
+            p2 = [xw, y0, z0 + rng.uniform(1.0, 4.0)]
+        segs.append([p1, p2])
+    segments = np.asarray(segs, dtype=np.float32)
+
+    # Trajectory: forward motion + gentle yaw oscillation.
+    poses = []
+    for f in range(num_frames):
+        z = 0.15 * f
+        yaw = 0.03 * np.sin(0.15 * f)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
+        t = np.array([0.3 * np.sin(0.1 * f), 0.02 * np.sin(0.23 * f), z], dtype=np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = t
+        poses.append(T)
+    return SyntheticScene(points=points, segments=segments, poses_wc=np.stack(poses), cam=cam)
+
+
+def _project_np(cam: Camera, T_wc: np.ndarray, X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    T_cw = np.linalg.inv(T_wc)
+    Xc = X @ T_cw[:3, :3].T + T_cw[:3, 3]
+    z = Xc[:, 2]
+    zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+    u = float(cam.fx) * Xc[:, 0] / zs + float(cam.cx)
+    v = float(cam.fy) * Xc[:, 1] / zs + float(cam.cy)
+    return np.stack([u, v], axis=-1), z
+
+
+def scene_observations(scene: SyntheticScene, frame: int, noise_px: float = 0.0, seed: int = 0):
+    """Exact (or noisy) projections for property tests.
+
+    Returns (uv_points (P,2), vis_points (P,), seg_uv (L,4), vis_lines (L,)).
+    """
+    rng = np.random.default_rng(seed * 1000 + frame)
+    cam = scene.cam
+    T = scene.poses_wc[frame]
+    uv, z = _project_np(cam, T, scene.points)
+    vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    uv1, z1 = _project_np(cam, T, scene.segments[:, 0])
+    uv2, z2 = _project_np(cam, T, scene.segments[:, 1])
+    in_img = lambda p: (p[:, 0] >= 0) & (p[:, 0] < cam.width) & (p[:, 1] >= 0) & (p[:, 1] < cam.height)
+    vis_l = (z1 > 0.3) & (z2 > 0.3) & in_img(uv1) & in_img(uv2)
+    if noise_px > 0:
+        uv = uv + rng.normal(0, noise_px, uv.shape)
+        uv1 = uv1 + rng.normal(0, noise_px, uv1.shape)
+        uv2 = uv2 + rng.normal(0, noise_px, uv2.shape)
+    seg = np.concatenate([uv1, uv2], axis=-1).astype(np.float32)
+    return uv.astype(np.float32), vis, seg, vis_l
+
+
+def render_scene_frame(scene: SyntheticScene, frame: int) -> np.ndarray:
+    """Render a grayscale uint8 image by drawing the visible segments.
+
+    Anti-aliased-ish 2px bright lines on mid-gray noise background: enough
+    texture for the LSD detector to find them, deterministic per frame.
+    """
+    cam = scene.cam
+    H, W = cam.height, cam.width
+    rng = np.random.default_rng(12345)  # same background every frame
+    img = (rng.normal(110, 6, (H, W))).astype(np.float32)
+    _, _, seg, vis = scene_observations(scene, frame)
+    for (x1, y1, x2, y2), ok in zip(seg, vis):
+        if not ok:
+            continue
+        n = int(max(abs(x2 - x1), abs(y2 - y1)) * 2) + 2
+        xs = np.linspace(x1, x2, n)
+        ys = np.linspace(y1, y2, n)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xi = np.clip(np.round(xs + dx).astype(int), 0, W - 1)
+                yi = np.clip(np.round(ys + dy).astype(int), 0, H - 1)
+                val = 230.0 if (dx == 0 and dy == 0) else 190.0
+                img[yi, xi] = np.maximum(img[yi, xi], val)
+    return np.clip(img, 0, 255).astype(np.uint8)
