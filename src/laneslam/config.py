@@ -1,0 +1,150 @@
+"""Frozen, hashable config dataclasses (SURVEY.md §5.6).
+
+Configs are static jit arguments: changing one recompiles (explicitly).
+Every judged config (BASELINE.json:7-11) is a named preset in configs/.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class LsdConfig:
+    """LSD-style line segment detector (SURVEY.md C1)."""
+
+    blur_sigma: float = 0.6  # pre-gradient Gaussian (anti-staircase, LSD §2)
+    grad_threshold: float = 3.0  # gradient magnitude bound (post-blur)
+    angle_tol_deg: float = 22.5  # region-growing angle tolerance tau
+    max_segments: int = 256  # fixed capacity of output slots
+    min_region_px: int = 15  # discard smaller regions
+    min_length_px: float = 12.0
+    min_density: float = 0.5  # aligned-point density gate (rectangle fill)
+    prop_iters: int = 10  # label-propagation outer iterations
+    local_sweeps: int = 4  # local stencil sweeps per outer iteration
+    downscale: int = 1  # optional pre-downscale factor
+    log_nfa_threshold: float = 0.0  # accept if log10(NFA) < threshold
+
+
+@dataclass(frozen=True)
+class LbdConfig:
+    """LBD line-band descriptor (SURVEY.md C2; Zhang & Koch 2013)."""
+
+    num_bands: int = 9  # m
+    band_width: int = 7  # w rows per band
+    num_samples: int = 48  # samples along the line per row
+    desc_dim: int = 72  # 8 * num_bands
+
+
+@dataclass(frozen=True)
+class PointConfig:
+    """Point feature pipeline (SURVEY.md C3): Shi-Tomasi + BRIEF-sign."""
+
+    max_points: int = 512
+    nms_radius: int = 5
+    min_score: float = 1e-4
+    desc_dim: int = 256
+    patch_radius: int = 12  # BRIEF sampling radius
+    smoothing_sigma: float = 2.0
+    seed: int = 7  # BRIEF pattern seed (fixed -> descriptors comparable)
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    """GEMM matcher with geometric gating (SURVEY.md C4, BASELINE.json:5)."""
+
+    ratio: float = 0.85  # Lowe ratio test on descriptor distance
+    max_line_angle_deg: float = 15.0  # segment orientation gate
+    max_length_ratio: float = 2.0  # segment length ratio gate
+    max_point_dist_px: float = 100.0  # spatial gate for points (odometry prior)
+    max_line_dist_px: float = 100.0  # midpoint distance gate for lines
+    cross_check: bool = True  # mutual nearest neighbors
+
+
+@dataclass(frozen=True)
+class BaConfig:
+    """Sliding-window point+line bundle adjustment (SURVEY.md C9)."""
+
+    window_size: int = 8  # keyframes per window
+    gn_iters: int = 10
+    huber_px: float = 2.0
+    damping: float = 1e-4
+    max_obs_per_kf: int = 512  # point observation capacity per keyframe
+    max_line_obs_per_kf: int = 128
+
+
+@dataclass(frozen=True)
+class PgoConfig:
+    gn_iters: int = 20
+    huber: float = 0.5
+    damping: float = 1e-6
+
+
+@dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity device-resident map (SURVEY.md C14)."""
+
+    max_keyframes: int = 512
+    max_points: int = 16384
+    max_lines: int = 4096
+    max_obs_per_kf: int = 512
+    max_line_obs_per_kf: int = 128
+
+
+@dataclass(frozen=True)
+class FrontendConfig:
+    kf_min_tracked_ratio: float = 0.6  # new KF when tracked fraction drops below
+    kf_min_inliers: int = 40
+    kf_max_interval: int = 10  # force a KF every N frames
+    pnp_hypotheses: int = 128
+    essential_hypotheses: int = 256
+    inlier_px: float = 2.0
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop closure (SURVEY.md C11-C13)."""
+
+    top_k: int = 5
+    min_kf_gap: int = 30  # candidate must be this many keyframes old
+    min_similarity: float = 0.6
+    min_inliers: int = 25
+    ransac_hypotheses: int = 128
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh axes (SURVEY.md §2.2-§2.3)."""
+
+    frame_axis: int = 1  # data/trajectory parallel size
+    block_axis: int = 1  # landmark-block (tensor) parallel size
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | kitti | euroc
+    root: str = ""
+    sequence: str = "00"
+    max_frames: int = 0  # 0 = all
+    stereo: bool = False
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    lsd: LsdConfig = field(default_factory=LsdConfig)
+    lbd: LbdConfig = field(default_factory=LbdConfig)
+    points: PointConfig = field(default_factory=PointConfig)
+    match: MatchConfig = field(default_factory=MatchConfig)
+    ba: BaConfig = field(default_factory=BaConfig)
+    pgo: PgoConfig = field(default_factory=PgoConfig)
+    map: MapConfig = field(default_factory=MapConfig)
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    image_height: int = 480
+    image_width: int = 640
+    use_pallas: bool = True  # Pallas kernels on TPU, pure-XLA fallback on CPU
+
+    def override(self, **kwargs) -> "SlamConfig":
+        return replace(self, **kwargs)

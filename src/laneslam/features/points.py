@@ -1,0 +1,111 @@
+"""Point features: Shi-Tomasi corners + BRIEF-sign descriptors (SURVEY.md C3).
+
+The reference family uses OpenCV ORB/FAST (C++). The TPU-native choice:
+ - Shi-Tomasi min-eigenvalue response — pure convolutions (VPU/MXU friendly),
+   better suited to XLA than FAST's 16-way ring comparisons.
+ - NMS as max-pooling equality.
+ - BRIEF-style descriptor emitted as a ±1 *float* vector instead of packed
+   bits: descriptor distance then becomes a dot-product GEMM on the MXU
+   (BASELINE.json:5 "matching runs as a dense descriptor-distance GEMM"),
+   trading 8x memory for native MXU matching. Rotation steering is omitted
+   (odometry frame-to-frame rotations are small; documented limitation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laneslam.config import PointConfig
+from laneslam.features.containers import Points
+
+
+def _sep_gauss(img: jnp.ndarray, sigma: float, radius: int) -> jnp.ndarray:
+    x = np.arange(-radius, radius + 1)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k = jnp.asarray(k / k.sum(), img.dtype)
+
+    def conv1d(a, axis):
+        out = jnp.zeros_like(a)
+        for i, off in enumerate(range(-radius, radius + 1)):
+            out = out + k[i] * jnp.roll(a, -off, axis=axis)
+        return out
+
+    return conv1d(conv1d(img, 0), 1)
+
+
+def _maxpool2d(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        (2 * radius + 1, 2 * radius + 1), (1, 1), "SAME",
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def detect_points(img: jnp.ndarray, cfg: PointConfig = PointConfig()) -> Points:
+    """Detect up to cfg.max_points corners in (H, W) float32 [0, 255]."""
+    img = img.astype(jnp.float32) / 255.0
+    H, W = img.shape
+    sm = _sep_gauss(img, 1.0, 2)
+    gx = 0.5 * (jnp.roll(sm, -1, 1) - jnp.roll(sm, 1, 1))
+    gy = 0.5 * (jnp.roll(sm, -1, 0) - jnp.roll(sm, 1, 0))
+    sxx = _sep_gauss(gx * gx, cfg.smoothing_sigma, 3)
+    syy = _sep_gauss(gy * gy, cfg.smoothing_sigma, 3)
+    sxy = _sep_gauss(gx * gy, cfg.smoothing_sigma, 3)
+    # Shi-Tomasi: min eigenvalue of the structure tensor.
+    tr = 0.5 * (sxx + syy)
+    disc = jnp.sqrt(jnp.maximum((0.5 * (sxx - syy)) ** 2 + sxy * sxy, 0.0))
+    score = tr - disc
+
+    # Suppress borders (descriptor patch must fit).
+    b = cfg.patch_radius + 1
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    interior = (yy >= b) & (yy < H - b) & (xx >= b) & (xx < W - b)
+    score = jnp.where(interior, score, -jnp.inf)
+
+    is_peak = (score == _maxpool2d(score, cfg.nms_radius)) & (score > cfg.min_score)
+    flat = jnp.where(is_peak, score, -jnp.inf).reshape(-1)
+    vals, idx = jax.lax.top_k(flat, cfg.max_points)
+    u = (idx % W).astype(jnp.float32)
+    v = (idx // W).astype(jnp.float32)
+    valid = jnp.isfinite(vals)
+    return Points(
+        uv=jnp.where(valid[:, None], jnp.stack([u, v], axis=-1), 0.0),
+        score=jnp.where(valid, vals, 0.0),
+        valid=valid,
+    )
+
+
+def _brief_pattern(cfg: PointConfig) -> np.ndarray:
+    """Fixed random sampling pattern: (desc_dim, 4) = [dx1, dy1, dx2, dy2]."""
+    rng = np.random.default_rng(cfg.seed)
+    r = cfg.patch_radius
+    # Gaussian-distributed offsets, clipped to the patch (BRIEF-II style).
+    pat = rng.normal(0.0, r / 2.0, size=(cfg.desc_dim, 4))
+    return np.clip(pat, -r, r).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def describe_points(
+    img: jnp.ndarray, pts: Points, cfg: PointConfig = PointConfig()
+) -> jnp.ndarray:
+    """BRIEF-sign descriptors: (K, desc_dim) float32 in {-1, +1} (0 if invalid).
+
+    Unit-scaled so that matching similarity = dot(a, b) / desc_dim.
+    """
+    img = img.astype(jnp.float32)
+    sm = _sep_gauss(img, cfg.smoothing_sigma, 3)
+    pat = jnp.asarray(_brief_pattern(cfg))  # (D, 4)
+    p1 = pts.uv[:, None, :] + pat[None, :, :2]  # (K, D, 2)
+    p2 = pts.uv[:, None, :] + pat[None, :, 2:]
+
+    from laneslam.features.lbd import _bilinear
+
+    v1 = _bilinear(sm[None], p1)[0]  # (K, D)
+    v2 = _bilinear(sm[None], p2)[0]
+    desc = jnp.where(v1 > v2, 1.0, -1.0) / jnp.sqrt(jnp.float32(cfg.desc_dim))
+    return jnp.where(pts.valid[:, None], desc, 0.0)
