@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Driver benchmark: prints ONE JSON line with the headline metric.
+
+Current headline: frontend frames/s per chip (full per-frame compute of
+config 1 — LSD + LBD + points + GEMM match + essential RANSAC) on 640x480
+frames, jitted on the attached accelerator.
+
+vs_baseline: the reference family's frontend is OpenCV C++ single-core; the
+LSD paper reports tens of ms per VGA frame for detection alone (BASELINE.md
+§3), so the full reference frontend is ~15 fps. vs_baseline = value / 15.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "src"))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from laneslam.config import SlamConfig
+    from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
+    from laneslam.frontend.extract import extract_features
+    from laneslam.frontend.odometry import _pair_step
+    from laneslam.geometry.camera import Camera
+
+    cfg = SlamConfig()
+    scene = make_corridor_scene(seed=0, num_frames=8)
+    cam = Camera(
+        fx=float(scene.cam.fx), fy=float(scene.cam.fy),
+        cx=float(scene.cam.cx), cy=float(scene.cam.cy),
+        width=scene.cam.width, height=scene.cam.height,
+    )
+    imgs = [
+        jnp.asarray(render_scene_frame(scene, i), jnp.float32) for i in range(8)
+    ]
+    imgs = [jax.device_put(im) for im in imgs]
+    key = jax.random.PRNGKey(0)
+
+    # Warm up / compile.
+    feats = [extract_features(im, cfg) for im in imgs[:2]]
+    R, t, diag = _pair_step(feats[0], feats[1], key, cfg, cam)
+    jax.block_until_ready((R, t))
+
+    # Timed: extraction of each frame + pair step vs previous (the steady-state
+    # per-frame work of config 1).
+    iters = 50
+    prev = feats[1]
+    total = jnp.asarray(0, jnp.int32)  # forces every iteration's full chain
+    t0 = time.perf_counter()
+    for i in range(iters):
+        cur = extract_features(imgs[2 + (i % 6)], cfg)
+        R, t, diag = _pair_step(prev, cur, key, cfg, cam)
+        total = total + diag.num_inliers
+        prev = cur
+    jax.block_until_ready(total)
+    dt = time.perf_counter() - t0
+    fps = iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "frontend_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s (640x480, LSD+LBD+points+match+RANSAC)",
+                "vs_baseline": round(fps / 15.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,109 @@
+"""L11 public API: one entry point per judged config (BASELINE.json:7-11).
+
+  run_odometry    — config 1: mono frame-to-frame VO (CPU-runnable)
+  run_slam        — configs 2/3: sliding-window BA + loop closure + PGO
+  run_stereo      — config 4: EuRoC stereo point+line BA
+  run_distributed — config 5: multi-host sharded BA/PGO
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from laneslam.config import SlamConfig
+from laneslam.geometry.camera import Camera
+
+
+@dataclass
+class RunResult:
+    poses: np.ndarray  # (F, 4, 4) estimated T_wc
+    gt_poses: Optional[np.ndarray]  # (F, 4, 4) or None
+    ate_rmse: Optional[float]
+    frames_per_sec: float
+    diagnostics: dict = field(default_factory=dict)
+
+
+def _load_dataset(cfg: SlamConfig):
+    """Returns (frame_iter, cam, gt_poses, num_frames); frame_iter yields np arrays."""
+    d = cfg.data
+    if d.dataset == "kitti":
+        from laneslam.data.kitti import KittiOdometry
+
+        ds = KittiOdometry(d.root, d.sequence)
+        n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
+        gt = ds.gt_poses[:n] if ds.gt_poses is not None else None
+        return (ds.read_frame(i) for i in range(n)), ds.camera, gt, n
+    if d.dataset == "euroc":
+        from laneslam.data.euroc import EurocStereo
+
+        ds = EurocStereo(d.root)
+        n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
+        gt = ds.gt_poses_at(ds.stamps0[:n])
+        return (ds.read_pair(i)[0] for i in range(n)), ds.camera, gt, n
+    if d.dataset == "synthetic":
+        from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
+
+        n = d.max_frames or 30
+        scene = make_corridor_scene(seed=0, num_frames=n)
+        return (
+            (render_scene_frame(scene, i) for i in range(n)),
+            scene.cam,
+            scene.poses_wc,
+            n,
+        )
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def run_odometry(
+    cfg: SlamConfig, scale_mode: str = "auto", verbose: bool = True
+) -> RunResult:
+    """Config 1 (BASELINE.json:7): monocular frame-to-frame odometry.
+
+    scale_mode: 'auto' = GT magnitudes when GT exists else unit; 'unit'; 'gt'.
+    """
+    from laneslam.eval.ate import ate_rmse
+    from laneslam.frontend.odometry import TwoViewOdometry
+
+    frames, cam, gt, n = _load_dataset(cfg)
+    vo = TwoViewOdometry(cfg, cam)
+    use_gt_scale = (scale_mode == "gt") or (scale_mode == "auto" and gt is not None)
+
+    t_start = time.perf_counter()
+    t_first = None
+    for i, img in enumerate(frames):
+        gt_scale = None
+        if use_gt_scale and gt is not None and 0 < i < len(gt):
+            gt_scale = float(
+                np.linalg.norm(gt[i][:3, 3] - gt[i - 1][:3, 3])
+            )
+        vo.process(img, gt_scale=gt_scale)
+        if t_first is None:
+            t_first = time.perf_counter()  # exclude compile of first frame
+        if verbose and i % 50 == 0 and i > 0:
+            print(f"[odometry] frame {i}/{n}")
+    elapsed = time.perf_counter() - (t_first or t_start)
+    fps = (n - 1) / max(elapsed, 1e-9)
+
+    poses = vo.trajectory()
+    ate = None
+    if gt is not None:
+        m = min(len(poses), len(gt))
+        import jax.numpy as jnp
+
+        rmse, _ = ate_rmse(
+            jnp.asarray(poses[:m]), jnp.asarray(gt[:m]), align_scale=True
+        )
+        ate = float(rmse)
+    if verbose:
+        print(f"[odometry] frames={n} fps={fps:.2f} ATE_RMSE={ate}")
+    return RunResult(
+        poses=poses,
+        gt_poses=gt,
+        ate_rmse=ate,
+        frames_per_sec=fps,
+        diagnostics={"per_frame": vo.diags},
+    )

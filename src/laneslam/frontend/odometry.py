@@ -1,0 +1,131 @@
+"""Config-1 frontend: monocular frame-to-frame visual odometry.
+
+BASELINE.json:7 — "KITTI odometry seq 00 (first 500 frames, monocular): LSD
+lines + LBD match + frame-to-frame pose, CPU-runnable".
+
+Per frame (one jit program after extraction):
+  extract -> match lines+points vs previous frame -> essential-matrix RANSAC
+  on point matches -> (R, t) with |t| = 1.
+
+Monocular scale is unobservable from two views; `scale_mode`:
+  'unit'  — unit-norm translations (ATE evaluated after Sim(3) alignment,
+            conventional for mono KITTI — SURVEY.md §7.3.5)
+  'gt'    — per-frame GT translation magnitude (standard 2-view VO eval)
+  'const' — fixed magnitude.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laneslam.config import SlamConfig
+from laneslam.features.match import Matches, match_lines, match_points
+from laneslam.frontend.extract import FrameFeatures, extract_features
+from laneslam.geometry import se3
+from laneslam.geometry.camera import Camera
+from laneslam.geometry.twoview import TwoViewResult, estimate_relative_pose
+
+
+class OdometryState(NamedTuple):
+    T_wc: jnp.ndarray  # (4, 4) current camera-to-world pose
+    prev: FrameFeatures
+    frame_idx: jnp.ndarray  # scalar int32
+
+
+class StepDiagnostics(NamedTuple):
+    num_point_matches: jnp.ndarray
+    num_line_matches: jnp.ndarray
+    num_inliers: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _pair_step(
+    prev: FrameFeatures,
+    cur: FrameFeatures,
+    key: jax.Array,
+    cfg: SlamConfig,
+    cam: Camera,
+):
+    """Match prev->cur and estimate relative pose. Returns (R, t, diag)."""
+    pm = match_points(prev.points, prev.point_desc, cur.points, cur.point_desc, cfg.match)
+    lm = match_lines(prev.segments, prev.line_desc, cur.segments, cur.line_desc, cfg.match)
+
+    # Correspondences for the essential solver: matched point pixels, plus
+    # matched segment midpoints+endpoints as additional constraints (the
+    # line contribution to 2-view pose).
+    uv_a_pts = prev.points.uv
+    uv_b_pts = cur.points.uv[jnp.maximum(pm.idx, 0)]
+    val_pts = pm.valid
+
+    mid_a = prev.segments.midpoint()
+    mid_b = cur.segments.midpoint()[jnp.maximum(lm.idx, 0)]
+    val_mid = lm.valid
+
+    uv_a = jnp.concatenate([uv_a_pts, mid_a], axis=0)
+    uv_b = jnp.concatenate([uv_b_pts, mid_b], axis=0)
+    valid = jnp.concatenate([val_pts, val_mid], axis=0)
+
+    tv: TwoViewResult = estimate_relative_pose(
+        cam, uv_a, uv_b, valid, key,
+        num_hypotheses=cfg.frontend.essential_hypotheses,
+        inlier_px=cfg.frontend.inlier_px,
+    )
+    diag = StepDiagnostics(
+        num_point_matches=pm.num(),
+        num_line_matches=lm.num(),
+        num_inliers=tv.num_inliers,
+    )
+    return tv.R, tv.t, diag
+
+
+class TwoViewOdometry:
+    """Host-side driver: feeds frames, keeps the trajectory.
+
+    The host loop only uploads images and reads back a 4x4 pose + three
+    scalars per frame; all feature/matching/RANSAC compute is jitted.
+    """
+
+    def __init__(self, cfg: SlamConfig, cam: Camera, seed: int = 0):
+        self.cfg = cfg
+        self.cam = cam
+        self.key = jax.random.PRNGKey(seed)
+        self.state: Optional[OdometryState] = None
+        self.poses = [np.eye(4, dtype=np.float32)]
+        self.diags: list = []
+
+    def process(self, img: np.ndarray, gt_scale: float | None = None) -> np.ndarray:
+        """Feed the next grayscale frame; returns current T_wc (4, 4)."""
+        feats = extract_features(jnp.asarray(img, jnp.float32), self.cfg)
+        if self.state is None:
+            self.state = OdometryState(
+                T_wc=jnp.eye(4), prev=feats, frame_idx=jnp.asarray(0)
+            )
+            return self.poses[0]
+
+        self.key, sub = jax.random.split(self.key)
+        R, t, diag = _pair_step(self.state.prev, feats, sub, self.cfg, self.cam)
+        scale = 1.0 if gt_scale is None else float(gt_scale)
+        # x_b = R x_a + t maps prev-camera coords to cur-camera coords, so
+        # T_prev_cur = inv([R|t*scale]) and T_w_cur = T_w_prev @ T_prev_cur.
+        T_rel = se3.inverse(se3.make(R, t * scale))
+        T_wc = jnp.asarray(self.poses[-1]) @ T_rel
+        self.state = OdometryState(
+            T_wc=T_wc, prev=feats, frame_idx=self.state.frame_idx + 1
+        )
+        self.poses.append(np.asarray(T_wc, dtype=np.float32))
+        self.diags.append(
+            dict(
+                point_matches=int(diag.num_point_matches),
+                line_matches=int(diag.num_line_matches),
+                inliers=int(diag.num_inliers),
+            )
+        )
+        return self.poses[-1]
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.poses)
