@@ -1,0 +1,160 @@
+"""Pose-graph optimization (SURVEY.md C10, BASELINE.json:9).
+
+SE(3) keyframe graph with odometry + loop edges; residual per edge
+r = log( T_meas^-1 · T_i^-1 · T_j )  (6,), right-multiplicative updates
+T_i <- T_i exp(xi_i).
+
+TPU formulation: Gauss-Newton outer iterations (lax.scan) with a
+*matrix-free preconditioned conjugate-gradient* inner solve. The Hessian is
+never materialized: H @ x is two gathers, a batched 6x6 edge product, and a
+scatter-add — O(E) work per CG step with fixed-capacity edge tables. This
+keeps memory O(N + E) (a dense pose Hessian would be O(N^2)) and the same
+matvec shards along the trajectory axis for the distributed path
+(SURVEY.md P4).
+
+Edge Jacobians come from jacfwd at the linearization point, vmapped over the
+edge table (like backend/residuals.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from laneslam.config import PgoConfig
+from laneslam.geometry import se3
+
+
+class PgoProblem(NamedTuple):
+    """Fixed-capacity pose graph."""
+
+    T_wc: jnp.ndarray  # (N, 4, 4) node poses
+    node_valid: jnp.ndarray  # (N,) bool
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray  # (E,) int32
+    edge_T: jnp.ndarray  # (E, 4, 4) measured T_i^-1 T_j
+    edge_weight: jnp.ndarray  # (E,) float32 information scale (0 = invalid)
+
+
+class PgoInfo(NamedTuple):
+    cost: jnp.ndarray  # (iters + 1,)
+
+
+def _edge_linearize(problem: PgoProblem):
+    """Residuals + Jacobians for every edge slot. r (E,6), Ji/Jj (E,6,6)."""
+    Ti = problem.T_wc[problem.edge_i]
+    Tj = problem.T_wc[problem.edge_j]
+    Tm_inv = se3.inverse(problem.edge_T)
+
+    def res(Ti_, Tj_, Tm_inv_, xi, xj):
+        A = Tm_inv_ @ se3.inverse(Ti_ @ se3.exp(xi)) @ (Tj_ @ se3.exp(xj))
+        return se3.log(A)
+
+    z = jnp.zeros(6, problem.T_wc.dtype)
+    r = jax.vmap(lambda a, b, m: res(a, b, m, z, z))(Ti, Tj, Tm_inv)
+    Ji, Jj = jax.vmap(
+        lambda a, b, m: jax.jacfwd(lambda xi, xj: res(a, b, m, xi, xj), (0, 1))(z, z)
+    )(Ti, Tj, Tm_inv)
+    return r, Ji, Jj
+
+
+def _huber_w(r: jnp.ndarray, k: float) -> jnp.ndarray:
+    n = jnp.linalg.norm(r, axis=-1)
+    return jnp.minimum(1.0, k / jnp.maximum(n, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fixed", "cg_iters"))
+def pgo_solve(
+    problem: PgoProblem,
+    cfg: PgoConfig = PgoConfig(),
+    num_fixed: int = 1,
+    cg_iters: int = 50,
+) -> Tuple[PgoProblem, PgoInfo]:
+    N = problem.T_wc.shape[0]
+    dtype = problem.T_wc.dtype
+    free = (
+        (jnp.arange(N) >= num_fixed) & problem.node_valid
+    ).astype(dtype)[:, None]  # (N, 1)
+
+    def gn_step(T_wc, _):
+        prob = problem._replace(T_wc=T_wc)
+        r, Ji, Jj = _edge_linearize(prob)
+        w = (
+            _huber_w(r, cfg.huber)
+            * problem.edge_weight
+            * problem.node_valid[problem.edge_i]
+            * problem.node_valid[problem.edge_j]
+        )
+        cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+        # Gradient g = J^T W r, scattered to nodes.
+        gi = jnp.einsum("eab,ea->eb", Ji * w[:, None, None], r)
+        gj = jnp.einsum("eab,ea->eb", Jj * w[:, None, None], r)
+        g = (
+            jnp.zeros((N, 6), dtype)
+            .at[problem.edge_i].add(gi)
+            .at[problem.edge_j].add(gj)
+        ) * free
+
+        # Jacobi preconditioner: block-diagonal of H (diag 6-vectors suffice).
+        di = jnp.einsum("eab,eab->eb", Ji * w[:, None, None], Ji)
+        dj = jnp.einsum("eab,eab->eb", Jj * w[:, None, None], Jj)
+        diag = (
+            jnp.zeros((N, 6), dtype)
+            .at[problem.edge_i].add(di)
+            .at[problem.edge_j].add(dj)
+            + cfg.damping
+        )
+        Minv = jnp.where(free > 0, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+
+        def hvp(x):  # (N, 6) -> (N, 6), damped + gauge-masked
+            x = x * free
+            yi = jnp.einsum("eab,eb->ea", Ji, x[problem.edge_i])
+            yj = jnp.einsum("eab,eb->ea", Jj, x[problem.edge_j])
+            y = (yi + yj) * w[:, None]
+            out = (
+                jnp.zeros((N, 6), dtype)
+                .at[problem.edge_i].add(jnp.einsum("eab,ea->eb", Ji, y))
+                .at[problem.edge_j].add(jnp.einsum("eab,ea->eb", Jj, y))
+            )
+            return (out + cfg.damping * x) * free
+
+        # Preconditioned CG for H delta = -g.
+        b = -g
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Hp = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = Minv * rr
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return (x, rr, p, rz_new), None
+
+        x0 = jnp.zeros((N, 6), dtype)
+        r0 = b
+        z0 = Minv * r0
+        (delta, _, _, _), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
+        )
+        delta = delta * free
+        T_new = T_wc @ se3.exp(delta)
+        return T_new, cost
+
+    T_out, costs = jax.lax.scan(gn_step, problem.T_wc, None, length=cfg.gn_iters)
+    out = problem._replace(T_wc=T_out)
+    r, _, _ = _edge_linearize(out)
+    w = (
+        _huber_w(r, cfg.huber)
+        * problem.edge_weight
+        * problem.node_valid[problem.edge_i]
+        * problem.node_valid[problem.edge_j]
+    )
+    final = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    return out, PgoInfo(cost=jnp.concatenate([costs, final[None]]))

@@ -69,6 +69,7 @@ class BaConfig:
     gn_iters: int = 10
     huber_px: float = 2.0
     damping: float = 1e-4
+    outlier_px: float = 0.0  # >0: re-gate observations mid-solve (2-stage LM)
     max_obs_per_kf: int = 512  # point observation capacity per keyframe
     max_line_obs_per_kf: int = 128
 
