@@ -44,11 +44,16 @@ def _load_dataset(cfg: SlamConfig):
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses_at(ds.stamps0[:n])
         return (ds.read_pair(i)[0] for i in range(n)), ds.camera, gt, n
-    if d.dataset == "synthetic":
-        from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
+    if d.dataset in ("synthetic", "synthetic_loop"):
+        from laneslam.data.synthetic import (
+            make_corridor_scene,
+            make_loop_scene,
+            render_scene_frame,
+        )
 
         n = d.max_frames or 30
-        scene = make_corridor_scene(seed=0, num_frames=n)
+        maker = make_loop_scene if d.dataset == "synthetic_loop" else make_corridor_scene
+        scene = maker(seed=0, num_frames=n)
         return (
             (render_scene_frame(scene, i) for i in range(n)),
             scene.cam,
@@ -56,6 +61,61 @@ def _load_dataset(cfg: SlamConfig):
             n,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def run_slam(
+    cfg: SlamConfig,
+    enable_loop: bool = True,
+    enable_ba: bool = True,
+    verbose: bool = True,
+) -> RunResult:
+    """Configs 2/3 (BASELINE.json:8-9): keyframe SLAM with sliding-window
+    point+line BA, device-resident covisibility/KF-DB, loop closure + PGO."""
+    from laneslam.eval.ate import ate_rmse
+    from laneslam.system import SlamSystem
+
+    frames, cam, gt, n = _load_dataset(cfg)
+    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba)
+
+    t_start = time.perf_counter()
+    t_first = None
+    for i, img in enumerate(frames):
+        sys_.process_frame(img)
+        if t_first is None:
+            t_first = time.perf_counter()
+        if verbose and i % 50 == 0 and i > 0:
+            s = sys_.stats[-1] if sys_.stats else {}
+            print(f"[slam] frame {i}/{n} {s}")
+    elapsed = time.perf_counter() - (t_first or t_start)
+    fps = (n - 1) / max(elapsed, 1e-9)
+
+    poses = sys_.trajectory()
+    ate = None
+    if gt is not None:
+        m = min(len(poses), len(gt))
+        import jax.numpy as jnp
+
+        rmse, _ = ate_rmse(jnp.asarray(poses[:m]), jnp.asarray(gt[:m]), align_scale=True)
+        ate = float(rmse)
+    if verbose:
+        print(
+            f"[slam] frames={n} kf={int(sys_.map.kf_count)} loops={sys_.num_loops} "
+            f"fps={fps:.2f} ATE_RMSE={ate}"
+        )
+    return RunResult(
+        poses=poses,
+        gt_poses=gt,
+        ate_rmse=ate,
+        frames_per_sec=fps,
+        diagnostics={
+            "per_frame": sys_.stats,
+            "num_keyframes": int(sys_.map.kf_count),
+            "num_points": int(sys_.map.pt_count),
+            "num_lines": int(sys_.map.ln_count),
+            "num_loops": sys_.num_loops,
+            "pt_overflow": int(sys_.map.pt_overflow),
+        },
+    )
 
 
 def run_odometry(

@@ -58,6 +58,7 @@ class MatchConfig:
     max_length_ratio: float = 2.0  # segment length ratio gate
     max_point_dist_px: float = 100.0  # spatial gate for points (odometry prior)
     max_line_dist_px: float = 100.0  # midpoint distance gate for lines
+    bootstrap_dist_px: float = 250.0  # loose gate when no motion prior exists
     cross_check: bool = True  # mutual nearest neighbors
 
 
@@ -94,12 +95,15 @@ class MapConfig:
 
 @dataclass(frozen=True)
 class FrontendConfig:
-    kf_min_tracked_ratio: float = 0.6  # new KF when tracked fraction drops below
-    kf_min_inliers: int = 40
+    kf_min_tracked_ratio: float = 0.5  # new KF when tracked fraction drops below
+    kf_min_inliers: int = 25
     kf_max_interval: int = 10  # force a KF every N frames
-    pnp_hypotheses: int = 128
+    pnp_hypotheses: int = 256
     essential_hypotheses: int = 256
     inlier_px: float = 2.0
+    track_inlier_px: float = 4.0  # PnP gate during tracking (noisier landmarks)
+    min_track_inliers: int = 8  # below this the frame falls back to motion model
+    min_parallax_deg: float = 1.0  # triangulation baseline gate
 
 
 @dataclass(frozen=True)
@@ -107,9 +111,10 @@ class LoopConfig:
     """Loop closure (SURVEY.md C11-C13)."""
 
     top_k: int = 5
-    min_kf_gap: int = 30  # candidate must be this many keyframes old
+    vocab_size: int = 128  # random visual-word codebook size (C11)
+    min_kf_gap: int = 10  # candidate must be this many keyframes old
     min_similarity: float = 0.6
-    min_inliers: int = 25
+    min_inliers: int = 15
     ransac_hypotheses: int = 128
 
 

@@ -96,6 +96,65 @@ def make_corridor_scene(
     return SyntheticScene(points=points, segments=segments, poses_wc=np.stack(poses), cam=cam)
 
 
+def make_loop_scene(
+    seed: int = 0,
+    num_frames: int = 90,
+    num_points: int = 900,
+    num_lines: int = 160,
+    cam: Camera | None = None,
+    radius: float = 2.0,
+    room: float = 12.0,
+) -> SyntheticScene:
+    """A room scene with a closed-loop trajectory (exercises loop closure).
+
+    Four textured walls of a square room (side 2*room); the camera circles
+    inside (radius `radius`) looking outward and returns to its start pose
+    on the final frames.
+    """
+    rng = np.random.default_rng(seed)
+    cam = cam or Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480)
+
+    pts = []
+    lines = []
+    walls = [
+        (np.array([0.0, 0.0, room]), np.array([1.0, 0.0, 0.0])),   # +z wall, spans x
+        (np.array([0.0, 0.0, -room]), np.array([1.0, 0.0, 0.0])),  # -z wall
+        (np.array([room, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),   # +x wall, spans z
+        (np.array([-room, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),  # -x wall
+    ]
+    for center, span in walls:
+        n = num_points // 4
+        s = rng.uniform(-room, room, n)
+        y = rng.uniform(-2.5, 2.5, n)
+        pts.append(center[None, :] + s[:, None] * span[None, :] + np.stack([np.zeros(n), y, np.zeros(n)], -1))
+        for _ in range(num_lines // 4):
+            s0 = rng.uniform(-room, room)
+            if rng.random() < 0.5:  # vertical line on the wall
+                y0 = rng.uniform(-2.5, 0.5)
+                p1 = center + s0 * span + np.array([0, y0, 0])
+                p2 = p1 + np.array([0, rng.uniform(1.0, 2.5), 0])
+            else:  # horizontal along the wall
+                y0 = rng.uniform(-2.5, 2.5)
+                p1 = center + s0 * span + np.array([0, y0, 0])
+                p2 = p1 + rng.uniform(1.0, 4.0) * span
+            lines.append([p1, p2])
+    points = np.concatenate(pts, axis=0).astype(np.float32)
+    segments = np.asarray(lines, dtype=np.float32)
+
+    poses = []
+    for f in range(num_frames):
+        th = 2.0 * np.pi * f / (num_frames - 3)  # returns to start before the end
+        pos = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)], dtype=np.float32)
+        yaw = th  # camera z-axis looks outward (away from room center)
+        c, s = np.cos(yaw), np.sin(yaw)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        poses.append(T)
+    return SyntheticScene(points=points, segments=segments, poses_wc=np.stack(poses), cam=cam)
+
+
 def _project_np(cam: Camera, T_wc: np.ndarray, X: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     T_cw = np.linalg.inv(T_wc)
     Xc = X @ T_cw[:3, :3].T + T_cw[:3, 3]
@@ -129,16 +188,40 @@ def scene_observations(scene: SyntheticScene, frame: int, noise_px: float = 0.0,
 
 
 def render_scene_frame(scene: SyntheticScene, frame: int) -> np.ndarray:
-    """Render a grayscale uint8 image by drawing the visible segments.
+    """Render a grayscale uint8 image: world-anchored segments AND points.
 
-    Anti-aliased-ish 2px bright lines on mid-gray noise background: enough
-    texture for the LSD detector to find them, deterministic per frame.
+    Crucial fixture property: everything with repeatable image structure is
+    anchored in the 3D world. The per-pixel noise is re-drawn per frame
+    (different seed each frame) so it cannot form stable fake corners — a
+    fixed noise pattern would be a static image-space overlay that matches
+    across frames and votes for the identity pose, poisoning VO/SLAM tests.
     """
     cam = scene.cam
     H, W = cam.height, cam.width
-    rng = np.random.default_rng(12345)  # same background every frame
-    img = (rng.normal(110, 6, (H, W))).astype(np.float32)
-    _, _, seg, vis = scene_observations(scene, frame)
+    rng = np.random.default_rng(977351 + frame)  # fresh noise every frame
+    img = (rng.normal(110, 3, (H, W))).astype(np.float32)
+
+    uv, vis_p, seg, vis = scene_observations(scene, frame)
+
+    # World points as bright 5x5 blobs. Each point gets a deterministic
+    # per-landmark brightness/asymmetry so BRIEF descriptors can tell them
+    # apart (identical blobs are ambiguous under the ratio test).
+    pt_rng = np.random.default_rng(4242)  # landmark appearance, world-fixed
+    peak = pt_rng.uniform(170.0, 250.0, size=len(uv))
+    tilt = pt_rng.uniform(-0.5, 0.5, size=(len(uv), 2))
+    for k, ((x, y), ok) in enumerate(zip(uv, vis_p)):
+        if not ok:
+            continue
+        xi, yi = int(round(x)), int(round(y))
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                xx, yy = xi + dx, yi + dy
+                if 0 <= xx < W and 0 <= yy < H:
+                    fall = 22.0 * max(abs(dx), abs(dy))
+                    asym = 28.0 * (tilt[k, 0] * dx + tilt[k, 1] * dy)
+                    val = peak[k] - fall + asym
+                    img[yy, xx] = max(img[yy, xx], val)
+
     for (x1, y1, x2, y2), ok in zip(seg, vis):
         if not ok:
             continue

@@ -70,9 +70,24 @@ def detect_points(img: jnp.ndarray, cfg: PointConfig = PointConfig()) -> Points:
     is_peak = (score == _maxpool2d(score, cfg.nms_radius)) & (score > cfg.min_score)
     flat = jnp.where(is_peak, score, -jnp.inf).reshape(-1)
     vals, idx = jax.lax.top_k(flat, cfg.max_points)
-    u = (idx % W).astype(jnp.float32)
-    v = (idx // W).astype(jnp.float32)
+    ui = idx % W
+    vi = idx // W
     valid = jnp.isfinite(vals)
+    # Subpixel refinement: 1D parabola fit through the score in x and y
+    # (integer NMS quantization is ~0.3 px RMS — visible in PnP jitter).
+    sc = jnp.nan_to_num(score, neginf=0.0)
+
+    def peak_offset(c, l, r):
+        denom = l - 2.0 * c + r
+        off = 0.5 * (l - r) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return jnp.clip(off, -0.5, 0.5)
+
+    uc = jnp.clip(ui, 1, W - 2)
+    vc = jnp.clip(vi, 1, H - 2)
+    du = peak_offset(sc[vc, uc], sc[vc, uc - 1], sc[vc, uc + 1])
+    dv = peak_offset(sc[vc, uc], sc[vc - 1, uc], sc[vc + 1, uc])
+    u = ui.astype(jnp.float32) + du
+    v = vi.astype(jnp.float32) + dv
     return Points(
         uv=jnp.where(valid[:, None], jnp.stack([u, v], axis=-1), 0.0),
         score=jnp.where(valid, vals, 0.0),

@@ -23,12 +23,21 @@ class PnPResult(NamedTuple):
     num_inliers: jnp.ndarray  # scalar int32
 
 
-def _dlt_p6p(X: jnp.ndarray, uvn: jnp.ndarray) -> jnp.ndarray:
+def _dlt_p6p(X_in: jnp.ndarray, uvn: jnp.ndarray) -> jnp.ndarray:
     """Batched DLT from 6 correspondences in *normalized* image coords.
 
-    Args: X: (H, 6, 3) world points, uvn: (H, 6, 2) normalized coords.
+    Args: X_in: (H, 6, 3) world points, uvn: (H, 6, 2) normalized coords.
     Returns T_cw: (H, 4, 4) with R projected onto SO(3).
+
+    Hartley-normalizes the 3D points per hypothesis (centroid + isotropic
+    scale) — without it the 12x12 SVD in float32 is noise-fragile when
+    point depths span an order of magnitude (corridor scenes).
     """
+    c = jnp.mean(X_in, axis=-2, keepdims=True)  # (H, 1, 3)
+    s = jnp.maximum(
+        jnp.mean(jnp.linalg.norm(X_in - c, axis=-1), axis=-1), 1e-6
+    )  # (H,)
+    X = (X_in - c) / s[..., None, None]
     x, y = uvn[..., 0], uvn[..., 1]
     Xh = jnp.concatenate([X, jnp.ones(X.shape[:-1] + (1,), X.dtype)], axis=-1)  # (H,6,4)
     z = jnp.zeros_like(Xh)
@@ -48,7 +57,10 @@ def _dlt_p6p(X: jnp.ndarray, uvn: jnp.ndarray) -> jnp.ndarray:
     D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
     R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt2)
     scale = jnp.mean(S, axis=-1)
-    t = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
+    t_n = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
+    # Undo the Hartley normalization: X = s X' + c  =>  t = s t' - R c.
+    Rc = jnp.einsum("...ij,...j->...i", R, c[..., 0, :])
+    t = s[..., None] * t_n - Rc
     return se3.make(R, t)
 
 
@@ -115,7 +127,9 @@ def solve_pnp_ransac(
     )
     T_h = _dlt_p6p(X_w[idx], uvn[idx])  # (H, 4, 4)
     err = _reproj_err_sq(cam, T_h, X_w, uv)  # (H, N)
-    inlier_mat = (err < inlier_px**2) & valid[None, :]
+    # Generous selection threshold: minimal-solver hypotheses are noisy; the
+    # GN refinement + final re-gate below recovers the tight inlier set.
+    inlier_mat = (err < (2.0 * inlier_px) ** 2) & valid[None, :]
     scores = jnp.sum(inlier_mat, axis=-1)
     best = jnp.argmax(scores)
     T_best = T_h[best]

@@ -60,6 +60,18 @@ def triangulate_points_dlt(
     return X, valid
 
 
+def parallax_deg(T_wc_a: jnp.ndarray, T_wc_b: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Triangulation angle (deg) subtended at X by the two camera centers."""
+    ca = T_wc_a[..., :3, 3]
+    cb = T_wc_b[..., :3, 3]
+    d1 = X - ca
+    d2 = X - cb
+    d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-12)
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-12)
+    cosang = jnp.clip(jnp.sum(d1 * d2, axis=-1), -1.0, 1.0)
+    return jnp.degrees(jnp.arccos(cosang))
+
+
 def backprojection_plane(
     cam: Camera, T_wc: jnp.ndarray, uv1: jnp.ndarray, uv2: jnp.ndarray
 ) -> jnp.ndarray:

@@ -1,0 +1,180 @@
+"""Map operations: all jit-compatible, static-shape, mask-correct.
+
+Bump allocation with overflow counters (SURVEY.md §7.3.2 — overflow is
+surfaced in telemetry, never silent), scatter-based keyframe insertion,
+covisibility maintenance, and BA window gather/scatter against the global
+landmark arrays (landmark slot == global id: the Schur reduction runs over
+the full fixed-capacity block arrays, unobserved blocks contribute zero).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from laneslam.backend.ba import BAProblem
+from laneslam.map.map import MapState
+from laneslam.geometry import se3
+
+
+def _bump_alloc(count, capacity, valid):
+    """Slots for new items: (ids (N,), new_count, num_dropped)."""
+    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    ids = jnp.where(valid, count + offs, -1)
+    dropped = jnp.sum((ids >= capacity) & valid)
+    ids = jnp.where(ids < capacity, ids, -1)
+    new_count = jnp.minimum(count + jnp.sum(valid), capacity)
+    return ids, new_count, dropped
+
+
+def add_points(
+    m: MapState, xyz: jnp.ndarray, desc: jnp.ndarray, valid: jnp.ndarray,
+    anchor_kf: jnp.ndarray,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Insert new point landmarks; returns (map, assigned ids (N,) or -1)."""
+    P = m.pt_xyz.shape[0]
+    ids, new_count, dropped = _bump_alloc(m.pt_count, P, valid)
+    w = jnp.where(ids >= 0, ids, P + 1)  # out-of-bounds -> dropped writes
+    m = m._replace(
+        pt_xyz=m.pt_xyz.at[w].set(xyz, mode="drop"),
+        pt_desc=m.pt_desc.at[w].set(desc, mode="drop"),
+        pt_valid=m.pt_valid.at[w].set(True, mode="drop"),
+        pt_anchor_kf=m.pt_anchor_kf.at[w].set(anchor_kf, mode="drop"),
+        pt_count=new_count,
+        pt_overflow=m.pt_overflow + dropped,
+    )
+    return m, ids
+
+
+def add_lines(
+    m: MapState, plucker: jnp.ndarray, desc: jnp.ndarray, valid: jnp.ndarray,
+    anchor_kf: jnp.ndarray,
+) -> Tuple[MapState, jnp.ndarray]:
+    L = m.ln_plucker.shape[0]
+    ids, new_count, dropped = _bump_alloc(m.ln_count, L, valid)
+    w = jnp.where(ids >= 0, ids, L + 1)
+    m = m._replace(
+        ln_plucker=m.ln_plucker.at[w].set(plucker, mode="drop"),
+        ln_desc=m.ln_desc.at[w].set(desc, mode="drop"),
+        ln_valid=m.ln_valid.at[w].set(True, mode="drop"),
+        ln_anchor_kf=m.ln_anchor_kf.at[w].set(anchor_kf, mode="drop"),
+        ln_count=new_count,
+        ln_overflow=m.ln_overflow + dropped,
+    )
+    return m, ids
+
+
+def insert_keyframe(
+    m: MapState,
+    T_wc: jnp.ndarray,
+    pt_lm: jnp.ndarray,  # (Op,) landmark id per obs slot, -1 empty
+    pt_uv: jnp.ndarray,  # (Op, 2)
+    ln_lm: jnp.ndarray,  # (Ol,)
+    ln_seg: jnp.ndarray,  # (Ol, 4)
+    agg_desc: jnp.ndarray,  # (Dl,) place-recognition descriptor
+) -> Tuple[MapState, jnp.ndarray]:
+    """Insert a keyframe with its observation rows; update covisibility."""
+    K = m.kf_T_wc.shape[0]
+    kf_id = jnp.minimum(m.kf_count, K - 1)
+
+    # Covisibility row: membership indicator over point landmarks, then count
+    # overlap with every existing keyframe's observation row.
+    P = m.pt_xyz.shape[0]
+    # member has one guard slot at index P that stays 0: invalid obs slots
+    # (id -1) read it, and scatter writes for them go out of bounds (dropped).
+    member = jnp.zeros((P + 1,), jnp.int32).at[
+        jnp.where(pt_lm >= 0, pt_lm, P + 1)
+    ].set(1, mode="drop")
+    obs_all = jnp.where(m.obs_pt_idx >= 0, m.obs_pt_idx, P)  # (K, Op)
+    shared = jnp.sum(member[obs_all], axis=-1) * m.kf_valid  # (K,)
+    covis = m.covis.at[kf_id, :].set(shared).at[:, kf_id].set(shared)
+
+    m = m._replace(
+        kf_T_wc=m.kf_T_wc.at[kf_id].set(T_wc),
+        kf_valid=m.kf_valid.at[kf_id].set(True),
+        kf_agg_desc=m.kf_agg_desc.at[kf_id].set(agg_desc),
+        obs_pt_idx=m.obs_pt_idx.at[kf_id].set(pt_lm),
+        obs_pt_uv=m.obs_pt_uv.at[kf_id].set(pt_uv),
+        obs_ln_idx=m.obs_ln_idx.at[kf_id].set(ln_lm),
+        obs_ln_seg=m.obs_ln_seg.at[kf_id].set(ln_seg),
+        covis=covis,
+        kf_count=jnp.minimum(m.kf_count + 1, K),
+    )
+    return m, kf_id
+
+
+def window_ids(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Last-W keyframe ids (oldest first) + slot validity; padding at the end."""
+    start = jnp.maximum(m.kf_count - W, 0)
+    ids = start + jnp.arange(W)
+    valid = ids < m.kf_count
+    return jnp.minimum(ids, m.kf_T_wc.shape[0] - 1), valid
+
+
+def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray) -> BAProblem:
+    """Build a BAProblem over window keyframes + the global landmark arrays."""
+    W = ids.shape[0]
+    Op = m.obs_pt_idx.shape[1]
+    Ol = m.obs_ln_idx.shape[1]
+    T_cw = se3.inverse(m.kf_T_wc[ids])
+
+    pt_idx = m.obs_pt_idx[ids]  # (W, Op)
+    pt_w = jnp.repeat(jnp.arange(W), Op)
+    pt_p = jnp.maximum(pt_idx.reshape(-1), 0)
+    pt_valid = (
+        (pt_idx.reshape(-1) >= 0)
+        & slot_valid[pt_w]
+        & m.pt_valid[pt_p]
+    )
+    ln_idx = m.obs_ln_idx[ids]
+    ln_w = jnp.repeat(jnp.arange(W), Ol)
+    ln_l = jnp.maximum(ln_idx.reshape(-1), 0)
+    ln_valid = (
+        (ln_idx.reshape(-1) >= 0)
+        & slot_valid[ln_w]
+        & m.ln_valid[ln_l]
+    )
+    return BAProblem(
+        T_cw=T_cw,
+        points=m.pt_xyz,
+        lines=m.ln_plucker,
+        pt_w=pt_w, pt_p=pt_p,
+        pt_uv=m.obs_pt_uv[ids].reshape(-1, 2), pt_valid=pt_valid,
+        ln_w=ln_w, ln_l=ln_l,
+        ln_seg=m.obs_ln_seg[ids].reshape(-1, 4), ln_valid=ln_valid,
+    )
+
+
+def scatter_window(
+    m: MapState, problem: BAProblem, ids: jnp.ndarray, slot_valid: jnp.ndarray
+) -> MapState:
+    """Write optimized poses/landmarks back into the map."""
+    K = m.kf_T_wc.shape[0]
+    T_wc = se3.inverse(problem.T_cw)
+    w = jnp.where(slot_valid, ids, K + 1)
+    return m._replace(
+        kf_T_wc=m.kf_T_wc.at[w].set(T_wc, mode="drop"),
+        pt_xyz=problem.points,
+        ln_plucker=problem.lines,
+    )
+
+
+def apply_pose_corrections(m: MapState, T_wc_new: jnp.ndarray) -> MapState:
+    """After PGO: move each landmark by its anchor keyframe's correction.
+
+    Correction for anchor k: D_k = T_new[k] @ inv(T_old[k]) applied in world
+    frame; points transform as X <- D X, lines by the Plücker adjoint.
+    """
+    from laneslam.geometry.lines import plucker_transform
+
+    D = T_wc_new @ se3.inverse(m.kf_T_wc)  # (K, 4, 4) world-frame corrections
+    Dp = D[jnp.maximum(m.pt_anchor_kf, 0)]
+    pt = se3.transform_points(Dp, m.pt_xyz)
+    pt = jnp.where((m.pt_anchor_kf >= 0)[:, None] & m.pt_valid[:, None], pt, m.pt_xyz)
+    Dl = D[jnp.maximum(m.ln_anchor_kf, 0)]
+    ln = plucker_transform(Dl, m.ln_plucker)
+    ln = jnp.where((m.ln_anchor_kf >= 0)[:, None] & m.ln_valid[:, None], ln, m.ln_plucker)
+    return m._replace(kf_T_wc=T_wc_new, pt_xyz=pt, ln_plucker=ln)

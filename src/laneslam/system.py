@@ -1,0 +1,451 @@
+"""SLAM system orchestrator (SURVEY.md C18): configs 2 and 3.
+
+Keyframe-based tracking with a device-resident map:
+
+  frame -> extract (jit) -> track vs last keyframe's landmarks (PnP, jit)
+        -> keyframe decision -> [triangulate new landmarks + insert KF +
+           window BA (jit) + loop query/verify (jit) + PGO (jit)]
+
+Design notes:
+- Observation rows are *feature-slot aligned*: obs slot i of a keyframe is
+  feature slot i of the features extracted at that keyframe, so tracking
+  matches map landmarks through descriptor slots with no re-association.
+- The host only reads small scalars (inlier counts, decisions) and never
+  touches feature/map arrays; every numeric phase is one jit program.
+  (Full fusion of the decision logic into a single lax.cond step is the
+  planned optimization; the phase boundaries here already match it.)
+- Monocular bootstrap: two-view essential + triangulation at unit baseline;
+  ATE is evaluated after Sim(3) alignment as is conventional.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from laneslam.backend.ba import ba_solve
+from laneslam.backend.pgo import PgoProblem, pgo_solve
+from laneslam.config import SlamConfig
+from laneslam.features.match import match_descriptors, match_lines, match_points
+from laneslam.frontend.extract import FrameFeatures, extract_features
+from laneslam.geometry import se3
+from laneslam.geometry.camera import Camera
+from laneslam.geometry.pnp import solve_pnp_ransac
+from laneslam.geometry.triangulate import triangulate_lines, triangulate_points_dlt
+from laneslam.geometry.twoview import estimate_relative_pose
+from laneslam.loop.kfdb import aggregate_descriptor, codebook, query_kfdb
+from laneslam.loop.verify import verify_loop
+from laneslam.map.map import MapState, make_empty_map
+from laneslam.map import ops
+
+
+# --------------------------------------------------------------------------
+# jit phases
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _bootstrap_pair(
+    feats0: FrameFeatures, feats1: FrameFeatures, key: jax.Array,
+    cfg: SlamConfig, cam: Camera,
+):
+    """Two-view initialization: relative pose + triangulated points/lines."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(
+        cfg.match,
+        max_point_dist_px=cfg.match.bootstrap_dist_px,
+        max_line_dist_px=cfg.match.bootstrap_dist_px,
+    )
+    pm = match_points(feats0.points, feats0.point_desc, feats1.points, feats1.point_desc, mcfg)
+    lm = match_lines(feats0.segments, feats0.line_desc, feats1.segments, feats1.line_desc, mcfg)
+    uv0 = feats0.points.uv
+    uv1 = feats1.points.uv[jnp.maximum(pm.idx, 0)]
+    tv = estimate_relative_pose(
+        cam, uv0, uv1, pm.valid, key,
+        num_hypotheses=cfg.frontend.essential_hypotheses,
+        inlier_px=cfg.frontend.inlier_px,
+    )
+    # Pose of frame1: x_1 = R x_0 + t (unit baseline). T_wc1 = inv([R|t]).
+    T_wc1 = se3.inverse(se3.make(tv.R, tv.t))
+    T_wc0 = jnp.eye(4)
+    X, okX = triangulate_points_dlt(cam, T_wc0, T_wc1, uv0, uv1)
+    okX = okX & tv.inliers & pm.valid
+    seg0 = feats0.segments.xyxy
+    seg1 = feats1.segments.xyxy[jnp.maximum(lm.idx, 0)]
+    L, okL = triangulate_lines(cam, T_wc0, T_wc1, seg0, seg1)
+    okL = okL & lm.valid
+    return T_wc1, pm, lm, X, okX, L, okL, tv.num_inliers
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _track(
+    m: MapState,
+    cur: FrameFeatures,
+    T_pred: jnp.ndarray,
+    key: jax.Array,
+    cfg: SlamConfig,
+    cam: Camera,
+):
+    """Local-map tracking: project all landmarks into the motion-model
+    predicted view, descriptor-GEMM match with a projection-radius gate,
+    then PnP RANSAC. (One jit program; the (Kc, P) gate+GEMM is MXU work.)"""
+    from laneslam.geometry.camera import project_points
+
+    T_cw_pred = se3.inverse(T_pred)
+    uv_proj, z = project_points(cam, se3.transform_points(T_cw_pred, m.pt_xyz))
+    in_img = (
+        (z > 0.2)
+        & (uv_proj[:, 0] >= -20) & (uv_proj[:, 0] < cam.width + 20)
+        & (uv_proj[:, 1] >= -20) & (uv_proj[:, 1] < cam.height + 20)
+    )
+    vis = m.pt_valid & in_img
+    # Spatial gate: feature within a search radius of the predicted pixel.
+    r = cfg.match.max_point_dist_px
+    d = jnp.linalg.norm(cur.points.uv[:, None, :] - uv_proj[None, :, :], axis=-1)
+    gate = d < r
+    matches = match_descriptors(
+        cur.point_desc, m.pt_desc, cur.points.valid, vis,
+        gate=gate, ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
+    )
+    cur_lm = jnp.where(matches.valid, matches.idx, -1)
+    has_lm = matches.valid
+    X = m.pt_xyz[jnp.maximum(cur_lm, 0)]
+    res = solve_pnp_ransac(
+        cam, X, cur.points.uv, has_lm, key,
+        num_hypotheses=cfg.frontend.pnp_hypotheses,
+        inlier_px=cfg.frontend.track_inlier_px,
+    )
+    T_wc = se3.inverse(res.T_cw)
+    return T_wc, cur_lm, res.inliers, res.num_inliers
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _make_keyframe(
+    m: MapState,
+    kf_prev: jnp.ndarray,
+    kf_feats: FrameFeatures,
+    cur: FrameFeatures,
+    cur_lm: jnp.ndarray,  # (Kc,) tracked landmark per cur point slot
+    pnp_inliers: jnp.ndarray,
+    T_wc_cur: jnp.ndarray,
+    vocab: jnp.ndarray,
+    cfg: SlamConfig,
+    cam: Camera,
+):
+    """Triangulate new landmarks vs the previous keyframe and insert a KF."""
+    T_wc_prev = m.kf_T_wc[kf_prev]
+    pm = match_points(kf_feats.points, kf_feats.point_desc, cur.points, cur.point_desc, cfg.match)
+    lmm = match_lines(kf_feats.segments, kf_feats.line_desc, cur.segments, cur.line_desc, cfg.match)
+
+    # --- points: new landmarks from matches whose kf slot has no landmark.
+    lm_of_slot = m.obs_pt_idx[kf_prev]  # (Op,)
+    uv_prev = kf_feats.points.uv
+    uv_cur = cur.points.uv[jnp.maximum(pm.idx, 0)]
+    X_new, okX = triangulate_points_dlt(cam, T_wc_prev, T_wc_cur, uv_prev, uv_cur)
+    # Gates: depth sanity + parallax (low-baseline triangulations are noise).
+    from laneslam.geometry.triangulate import parallax_deg
+
+    depth_prev = se3.transform_points(se3.inverse(T_wc_prev), X_new)[:, 2]
+    par = parallax_deg(T_wc_prev, T_wc_cur, X_new)
+    is_new = (
+        pm.valid & (lm_of_slot < 0) & okX
+        & (depth_prev > 0.2) & (depth_prev < 200.0)
+        & (par > cfg.frontend.min_parallax_deg)
+    )
+    m, new_ids = ops.add_points(
+        m, X_new, kf_feats.point_desc, is_new, jnp.full(X_new.shape[0], m.kf_count, jnp.int32)
+    )
+    #
+
+    # cur-slot landmark table: tracked ones + newly created ones.
+    Kc = cur.points.uv.shape[0]
+    tracked_lm = jnp.where(pnp_inliers, cur_lm, -1)
+    tgt = jnp.where(pm.valid & (new_ids >= 0), pm.idx, Kc + 1)
+    slot_lm = tracked_lm.at[tgt].set(new_ids, mode="drop")
+
+    # --- lines: same scheme.
+    ln_of_slot = m.obs_ln_idx[kf_prev]
+    seg_prev = kf_feats.segments.xyxy
+    seg_cur = cur.segments.xyxy[jnp.maximum(lmm.idx, 0)]
+    L_new, okL = triangulate_lines(cam, T_wc_prev, T_wc_cur, seg_prev, seg_cur)
+    is_new_l = lmm.valid & (ln_of_slot < 0) & okL
+    m, new_lids = ops.add_lines(
+        m, L_new, kf_feats.line_desc, is_new_l, jnp.full(L_new.shape[0], m.kf_count, jnp.int32)
+    )
+    Kl = cur.segments.xyxy.shape[0]
+    slot_ln = jnp.full((Kl,), -1, jnp.int32)
+    # Tracked lines: cur slot <- landmark of matched kf slot.
+    tgt_l = jnp.where(lmm.valid & (ln_of_slot >= 0), lmm.idx, Kl + 1)
+    slot_ln = slot_ln.at[tgt_l].set(ln_of_slot, mode="drop")
+    tgt_l2 = jnp.where(lmm.valid & (new_lids >= 0), lmm.idx, Kl + 1)
+    slot_ln = slot_ln.at[tgt_l2].set(new_lids, mode="drop")
+    slot_ln = jnp.where(cur.segments.valid, slot_ln, -1)
+
+    agg = aggregate_descriptor(cur.point_desc, cur.points.valid, vocab)
+    m, kf_id = ops.insert_keyframe(
+        m, T_wc_cur,
+        jnp.where(cur.points.valid, slot_lm, -1), cur.points.uv,
+        slot_ln, cur.segments.xyxy, agg,
+    )
+    T_rel = se3.inverse(m.kf_T_wc[kf_prev]) @ T_wc_cur
+    new_pts = jnp.sum(new_ids >= 0)
+    new_lns = jnp.sum(new_lids >= 0)
+    return m, kf_id, T_rel, new_pts, new_lns
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed"))
+def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
+    ids, slot_valid = ops.window_ids(m, cfg.ba.window_size)
+    prob = ops.gather_window(m, ids, slot_valid)
+    out, info = ba_solve(prob, cam, cfg.ba, num_fixed_poses=num_fixed)
+    m = ops.scatter_window(m, out, ids, slot_valid)
+    return m, info.cost
+
+
+class EdgeStore(NamedTuple):
+    """Fixed-capacity pose-graph edge table (device-resident)."""
+
+    edge_i: jnp.ndarray  # (E,)
+    edge_j: jnp.ndarray
+    edge_T: jnp.ndarray  # (E, 4, 4)
+    edge_weight: jnp.ndarray  # (E,)
+    count: jnp.ndarray  # int32
+
+    @staticmethod
+    def empty(capacity: int) -> "EdgeStore":
+        return EdgeStore(
+            edge_i=jnp.zeros((capacity,), jnp.int32),
+            edge_j=jnp.zeros((capacity,), jnp.int32),
+            edge_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
+            edge_weight=jnp.zeros((capacity,), jnp.float32),
+            count=jnp.asarray(0, jnp.int32),
+        )
+
+
+@jax.jit
+def _add_edge(es: EdgeStore, i, j, T, w):
+    E = es.edge_i.shape[0]
+    at = jnp.minimum(es.count, E - 1)
+    return es._replace(
+        edge_i=es.edge_i.at[at].set(i),
+        edge_j=es.edge_j.at[at].set(j),
+        edge_T=es.edge_T.at[at].set(T),
+        edge_weight=es.edge_weight.at[at].set(w),
+        count=jnp.minimum(es.count + 1, E),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _run_pgo(m: MapState, es: EdgeStore, cfg: SlamConfig):
+    prob = PgoProblem(
+        T_wc=m.kf_T_wc,
+        node_valid=m.kf_valid,
+        edge_i=es.edge_i,
+        edge_j=es.edge_j,
+        edge_T=es.edge_T,
+        edge_weight=es.edge_weight * (jnp.arange(es.edge_i.shape[0]) < es.count),
+    )
+    out, info = pgo_solve(prob, cfg.pgo, num_fixed=1, cg_iters=60)
+    m = ops.apply_pose_corrections(m, out.T_wc)
+    return m, info.cost
+
+
+# --------------------------------------------------------------------------
+# host orchestrator
+# --------------------------------------------------------------------------
+
+
+class SlamSystem:
+    def __init__(self, cfg: SlamConfig, cam: Camera, seed: int = 0,
+                 enable_loop: bool = True, enable_ba: bool = True):
+        import dataclasses
+
+        # Observation rows are feature-slot aligned (see module docstring):
+        # their capacities are derived from the feature configs.
+        cfg = cfg.override(
+            map=dataclasses.replace(
+                cfg.map,
+                max_obs_per_kf=cfg.points.max_points,
+                max_line_obs_per_kf=cfg.lsd.max_segments,
+            )
+        )
+        self.cfg = cfg
+        self.cam = cam
+        self.key = jax.random.PRNGKey(seed)
+        self.map = make_empty_map(
+            cfg.map, pt_desc_dim=cfg.points.desc_dim, ln_desc_dim=cfg.lbd.desc_dim,
+            agg_dim=cfg.loop.vocab_size,
+        )
+        self._vocab = codebook(cfg.loop.vocab_size, cfg.points.desc_dim)
+        self.edges = EdgeStore.empty(4 * cfg.map.max_keyframes)
+        self.enable_loop = enable_loop
+        self.enable_ba = enable_ba
+        self.kf_feats: Optional[FrameFeatures] = None  # features of last KF
+        self.kf_id = None
+        self.bootstrapped = False
+        self.frames_since_kf = 0
+        self.T_cur = jnp.eye(4)
+        self._last_rel = jnp.eye(4)  # constant-velocity fallback motion
+        self.poses: list = []
+        self.stats: list = []
+        self.num_loops = 0
+
+    def _split(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def process_frame(self, img: np.ndarray) -> np.ndarray:
+        cfg, cam = self.cfg, self.cam
+        feats = extract_features(jnp.asarray(img, jnp.float32), cfg)
+
+        if self.kf_feats is None:
+            # First frame: keyframe 0 at the origin with no landmarks yet.
+            agg = aggregate_descriptor(feats.point_desc, feats.points.valid, self._vocab)
+            Kc = feats.points.uv.shape[0]
+            Kl = feats.segments.xyxy.shape[0]
+            self.map, kf0 = ops.insert_keyframe(
+                self.map, jnp.eye(4),
+                jnp.full((Kc,), -1, jnp.int32), feats.points.uv,
+                jnp.full((Kl,), -1, jnp.int32), feats.segments.xyxy, agg,
+            )
+            self.kf_id = kf0
+            self.kf_feats = feats
+            self.poses.append(np.eye(4, dtype=np.float32))
+            return self.poses[-1]
+
+        if not self.bootstrapped:
+            T_wc1, pm, lm, X, okX, L, okL, n_inl = _bootstrap_pair(
+                self.kf_feats, feats, self._split(), cfg, cam
+            )
+            if int(n_inl) < cfg.frontend.kf_min_inliers or int(jnp.sum(okX)) < 15:
+                if int(n_inl) < cfg.frontend.kf_min_inliers:
+                    # Overlap with the reference frame has decayed (rotation,
+                    # occlusion): re-seat the bootstrap reference on the
+                    # current frame instead of waiting forever.
+                    self.kf_feats = feats
+                # else: good matches but not enough parallax — keep waiting.
+                self.poses.append(self.poses[-1])
+                return self.poses[-1]
+            # Insert landmarks anchored at KF0 slots + keyframe 1.
+            m = self.map
+            m, pids = ops.add_points(
+                m, X, self.kf_feats.point_desc, okX,
+                jnp.full(X.shape[0], 0, jnp.int32),
+            )
+            m, lids = ops.add_lines(
+                m, L, self.kf_feats.line_desc, okL,
+                jnp.full(L.shape[0], 0, jnp.int32),
+            )
+            # Write KF0 observation rows (slot-aligned with kf_feats).
+            m = m._replace(
+                obs_pt_idx=m.obs_pt_idx.at[0].set(pids),
+                obs_ln_idx=m.obs_ln_idx.at[0].set(lids),
+            )
+            # KF1 observation rows: landmark per cur slot via the matches.
+            Kc = feats.points.uv.shape[0]
+            tgt = jnp.where(pm.valid & (pids >= 0), pm.idx, Kc + 1)
+            slot_lm = jnp.full((Kc,), -1, jnp.int32).at[tgt].set(pids, mode="drop")
+            Kl = feats.segments.xyxy.shape[0]
+            tgt_l = jnp.where(lm.valid & (lids >= 0), lm.idx, Kl + 1)
+            slot_ln = jnp.full((Kl,), -1, jnp.int32).at[tgt_l].set(lids, mode="drop")
+            agg = aggregate_descriptor(feats.point_desc, feats.points.valid, self._vocab)
+            m, kf1 = ops.insert_keyframe(
+                m, T_wc1, slot_lm, feats.points.uv, slot_ln, feats.segments.xyxy, agg
+            )
+            self.edges = _add_edge(
+                self.edges, jnp.asarray(0), kf1, se3.inverse(jnp.eye(4)) @ T_wc1,
+                jnp.asarray(1.0),
+            )
+            self.map = m
+            self.kf_id = kf1
+            self.kf_feats = feats
+            self.T_cur = T_wc1
+            self.bootstrapped = True
+            self._last_rel = T_wc1
+            self.frames_since_kf = 0
+            self.poses.append(np.asarray(T_wc1, np.float32))
+            self.stats.append({"event": "bootstrap", "inliers": int(n_inl)})
+            return self.poses[-1]
+
+        # --- tracking --------------------------------------------------
+        T_prev = self.T_cur
+        T_pred = self.T_cur @ self._last_rel  # constant-velocity prediction
+        T_wc, cur_lm, inl_mask, n_inl = _track(
+            self.map, feats, T_pred, self._split(), cfg, cam,
+        )
+        n_inl_i = int(n_inl)
+        if n_inl_i < cfg.frontend.min_track_inliers or bool(jnp.isnan(T_wc).any()):
+            # Tracking failure: constant-velocity fallback (keep last motion).
+            T_wc = T_prev @ self._last_rel
+            inl_mask = jnp.zeros_like(inl_mask)
+        else:
+            self._last_rel = se3.inverse(T_prev) @ T_wc
+        self.T_cur = T_wc
+        self.frames_since_kf += 1
+        self.poses.append(np.asarray(T_wc, np.float32))
+
+        n_tracked = int(jnp.sum(cur_lm >= 0))
+        need_kf = (
+            n_inl_i < cfg.frontend.kf_min_inliers
+            or n_inl_i < cfg.frontend.kf_min_tracked_ratio * max(n_tracked, 1)
+            or self.frames_since_kf >= cfg.frontend.kf_max_interval
+        )
+        stat = {"inliers": n_inl_i, "tracked": n_tracked, "kf": bool(need_kf)}
+
+        if need_kf and n_inl_i >= cfg.frontend.min_track_inliers:
+            m, kf_id, T_rel, n_new_p, n_new_l = _make_keyframe(
+                self.map, self.kf_id, self.kf_feats, feats, cur_lm, inl_mask,
+                T_wc, self._vocab, cfg, cam,
+            )
+            self.edges = _add_edge(self.edges, self.kf_id, kf_id, T_rel, jnp.asarray(1.0))
+            self.map = m
+            prev_kf = self.kf_id
+            self.kf_id = kf_id
+            self.kf_feats = feats
+            self.frames_since_kf = 0
+            stat["new_points"] = int(n_new_p)
+            stat["new_lines"] = int(n_new_l)
+
+            if self.enable_ba:
+                self.map, ba_cost = _window_ba(self.map, cfg, cam)
+                self.T_cur = self.map.kf_T_wc[kf_id]
+                self.poses[-1] = np.asarray(self.T_cur, np.float32)
+                stat["ba_cost0"] = float(ba_cost[0])
+                stat["ba_costN"] = float(ba_cost[-1])
+
+            if self.enable_loop:
+                cand_ids, sims = query_kfdb(
+                    self.map.kf_agg_desc, self.map.kf_valid,
+                    self.map.kf_agg_desc[kf_id], kf_id, cfg.loop,
+                )
+                best = int(cand_ids[0])
+                if best >= 0:
+                    lr = verify_loop(
+                        self.map, kf_id, jnp.asarray(best), self._split(), cfg.loop
+                    )
+                    if bool(lr.accepted):
+                        self.edges = _add_edge(
+                            self.edges, jnp.asarray(best), kf_id,
+                            lr.T_rel, jnp.asarray(2.0),
+                        )
+                        self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
+                        self.T_cur = self.map.kf_T_wc[kf_id]
+                        self.poses[-1] = np.asarray(self.T_cur, np.float32)
+                        self.num_loops += 1
+                        stat["loop"] = best
+                        stat["loop_inliers"] = int(lr.num_inliers)
+
+        self.stats.append(stat)
+        return self.poses[-1]
+
+    def trajectory(self) -> np.ndarray:
+        return np.stack(self.poses)
+
+    def keyframe_trajectory(self) -> np.ndarray:
+        kf = int(self.map.kf_count)
+        return np.asarray(self.map.kf_T_wc[:kf])
