@@ -118,6 +118,100 @@ def run_slam(
     )
 
 
+def _load_stereo_dataset(cfg: SlamConfig):
+    """Returns (pair_iter, cam, gt_poses, n); pair_iter yields (left, right)."""
+    d = cfg.data
+    if d.dataset == "euroc":
+        from laneslam.data.euroc import EurocStereo
+
+        ds = EurocStereo(d.root)
+        n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
+        gt = ds.gt_poses_at(ds.stamps0[:n])
+        return (ds.read_pair(i) for i in range(n)), ds.camera, gt, n
+    if d.dataset == "kitti":
+        from laneslam.data.kitti import KittiOdometry
+
+        ds = KittiOdometry(d.root, d.sequence)
+        n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
+        gt = ds.gt_poses[:n] if ds.gt_poses is not None else None
+        return (
+            (ds.read_frame(i), ds.read_frame_right(i)) for i in range(n)
+        ), ds.camera, gt, n
+    if d.dataset in ("synthetic", "synthetic_loop"):
+        from laneslam.data.synthetic import (
+            make_corridor_scene,
+            make_loop_scene,
+            render_scene_frame,
+        )
+
+        n = d.max_frames or 30
+        maker = make_loop_scene if d.dataset == "synthetic_loop" else make_corridor_scene
+        scene = maker(seed=0, num_frames=n)
+        b = 0.5
+        cam = scene.cam._replace(baseline=b)
+        return (
+            (
+                (render_scene_frame(scene, i), render_scene_frame(scene, i, baseline=b))
+                for i in range(n)
+            ),
+            cam,
+            scene.poses_wc,
+            n,
+        )
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def run_stereo(
+    cfg: SlamConfig,
+    enable_loop: bool = True,
+    enable_ba: bool = True,
+    verbose: bool = True,
+) -> RunResult:
+    """Config 4 (BASELINE.json:10): stereo point+line SLAM, metric scale,
+    joint point+line window BA exercising the mixed 3/4-dof Schur reduction."""
+    from laneslam.eval.ate import ate_rmse
+    from laneslam.system import SlamSystem
+
+    pairs, cam, gt, n = _load_stereo_dataset(cfg)
+    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba, stereo=True)
+
+    t_start = time.perf_counter()
+    t_first = None
+    for i, (left, right) in enumerate(pairs):
+        sys_.process_frame(left, img_right=right)
+        if t_first is None:
+            t_first = time.perf_counter()
+        if verbose and i % 50 == 0 and i > 0:
+            print(f"[stereo] frame {i}/{n} {sys_.stats[-1] if sys_.stats else {}}")
+    elapsed = time.perf_counter() - (t_first or t_start)
+    fps = (n - 1) / max(elapsed, 1e-9)
+
+    poses = sys_.trajectory()
+    ate = None
+    if gt is not None:
+        m = min(len(poses), len(gt))
+        import jax.numpy as jnp
+
+        # Stereo is metric: SE(3) alignment (no scale).
+        rmse, _ = ate_rmse(jnp.asarray(poses[:m]), jnp.asarray(gt[:m]), align_scale=False)
+        ate = float(rmse)
+    if verbose:
+        print(
+            f"[stereo] frames={n} kf={int(sys_.map.kf_count)} loops={sys_.num_loops} "
+            f"fps={fps:.2f} ATE_RMSE={ate}"
+        )
+    return RunResult(
+        poses=poses, gt_poses=gt, ate_rmse=ate, frames_per_sec=fps,
+        diagnostics={
+            "per_frame": sys_.stats,
+            "num_keyframes": int(sys_.map.kf_count),
+            "num_points": int(sys_.map.pt_count),
+            "num_lines": int(sys_.map.ln_count),
+            "num_loops": sys_.num_loops,
+        },
+    )
+
+
 def run_odometry(
     cfg: SlamConfig, scale_mode: str = "auto", verbose: bool = True
 ) -> RunResult:

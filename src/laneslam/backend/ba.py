@@ -58,6 +58,12 @@ class BAProblem(NamedTuple):
     ln_l: jnp.ndarray  # (Ol,) int32
     ln_seg: jnp.ndarray  # (Ol, 4) observed segment endpoints
     ln_valid: jnp.ndarray  # (Ol,) bool
+    # Optional per-landmark freedom masks (None => all free). A fixed
+    # landmark is a CONSTANT: its observations still constrain poses, but it
+    # gets no H/B/Schur blocks and no update — used by windowed BA to avoid
+    # dragging landmarks that out-of-window keyframes also constrain.
+    pt_free: jnp.ndarray | None = None  # (Np,) bool
+    ln_free: jnp.ndarray | None = None  # (Nl,) bool
 
 
 class BAInfo(NamedTuple):
@@ -96,14 +102,16 @@ def _assemble(problem: BAProblem, lin_p, lin_l):
     r_p, Jp_pose, Jp_pt, w_p = lin_p
     r_l, Jl_pose, Jl_ln, w_l = lin_l
 
-    def blocks(r, J_pose, J_lm, w, idx_w, idx_lm, N, d):
-        # Per-observation weighted products.
+    def blocks(r, J_pose, J_lm, w, idx_w, idx_lm, N, d, lm_free):
+        # Per-observation weighted products. Fixed landmarks (lm_free=0)
+        # contribute to the pose blocks only.
+        wf = w if lm_free is None else w * lm_free[idx_lm].astype(w.dtype)
         Jw_pose = J_pose * w[:, None, None]
         Hc = jnp.einsum("oia,oib->oab", Jw_pose, J_pose)  # (O, 6, 6)
         gc_o = jnp.einsum("oia,oi->oa", Jw_pose, r)  # (O, 6)
-        Hl = jnp.einsum("oia,oib->oab", J_lm * w[:, None, None], J_lm)  # (O,d,d)
-        gl_o = jnp.einsum("oia,oi->oa", J_lm * w[:, None, None], r)
-        Bo = jnp.einsum("oia,oib->oab", Jw_pose, J_lm)  # (O, 6, d)
+        Hl = jnp.einsum("oia,oib->oab", J_lm * wf[:, None, None], J_lm)  # (O,d,d)
+        gl_o = jnp.einsum("oia,oi->oa", J_lm * wf[:, None, None], r)
+        Bo = jnp.einsum("oia,oib->oab", J_pose * wf[:, None, None], J_lm)  # (O, 6, d)
 
         Hcc = jnp.zeros((W, 6, 6), r.dtype).at[idx_w].add(Hc)
         gc = jnp.zeros((W, 6), r.dtype).at[idx_w].add(gc_o)
@@ -116,10 +124,10 @@ def _assemble(problem: BAProblem, lin_p, lin_l):
         return Hcc, gc, Hlm, glm, B
 
     Hcc_p, gc_p, Hpp, gp, Bp = blocks(
-        r_p, Jp_pose, Jp_pt, w_p, problem.pt_w, problem.pt_p, Np, 3
+        r_p, Jp_pose, Jp_pt, w_p, problem.pt_w, problem.pt_p, Np, 3, problem.pt_free
     )
     Hcc_l, gc_l, Hll, gl, Bl = blocks(
-        r_l, Jl_pose, Jl_ln, w_l, problem.ln_w, problem.ln_l, Nl, 4
+        r_l, Jl_pose, Jl_ln, w_l, problem.ln_w, problem.ln_l, Nl, 4, problem.ln_free
     )
     return Hcc_p + Hcc_l, gc_p + gc_l, Hpp, gp, Bp, Hll, gl, Bl
 

@@ -88,6 +88,13 @@ def pgo_solve(
             * problem.node_valid[problem.edge_i]
             * problem.node_valid[problem.edge_j]
         )
+        # Sanitize invalid edges entirely: any non-finite linearization on a
+        # zero-weight (padded/degenerate) edge must not reach the products
+        # below (NaN * 0 == NaN).
+        live = (w > 0)[:, None, None]
+        r = jnp.where(live[..., 0], jnp.nan_to_num(r), 0.0)
+        Ji = jnp.where(live, jnp.nan_to_num(Ji), 0.0)
+        Jj = jnp.where(live, jnp.nan_to_num(Jj), 0.0)
         cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
 
         # Gradient g = J^T W r, scattered to nodes.

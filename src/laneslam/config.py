@@ -112,7 +112,8 @@ class LoopConfig:
 
     top_k: int = 5
     vocab_size: int = 128  # random visual-word codebook size (C11)
-    min_kf_gap: int = 10  # candidate must be this many keyframes old
+    min_kf_gap: int = 3  # plus covisibility exclusion (see kfdb.query_kfdb)
+    covis_exclusion: int = 30  # exclude candidates sharing >= this many landmarks
     min_similarity: float = 0.6
     min_inliers: int = 15
     ransac_hypotheses: int = 128

@@ -165,14 +165,24 @@ def _project_np(cam: Camera, T_wc: np.ndarray, X: np.ndarray) -> Tuple[np.ndarra
     return np.stack([u, v], axis=-1), z
 
 
-def scene_observations(scene: SyntheticScene, frame: int, noise_px: float = 0.0, seed: int = 0):
+def scene_observations(
+    scene: SyntheticScene, frame: int, noise_px: float = 0.0, seed: int = 0,
+    baseline: float = 0.0,
+):
     """Exact (or noisy) projections for property tests.
+
+    baseline > 0 shifts the camera by +baseline along its x axis (the right
+    camera of a rectified stereo pair).
 
     Returns (uv_points (P,2), vis_points (P,), seg_uv (L,4), vis_lines (L,)).
     """
     rng = np.random.default_rng(seed * 1000 + frame)
     cam = scene.cam
     T = scene.poses_wc[frame]
+    if baseline != 0.0:
+        shift = np.eye(4, dtype=T.dtype)
+        shift[0, 3] = baseline
+        T = T @ shift
     uv, z = _project_np(cam, T, scene.points)
     vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
     uv1, z1 = _project_np(cam, T, scene.segments[:, 0])
@@ -187,7 +197,9 @@ def scene_observations(scene: SyntheticScene, frame: int, noise_px: float = 0.0,
     return uv.astype(np.float32), vis, seg, vis_l
 
 
-def render_scene_frame(scene: SyntheticScene, frame: int) -> np.ndarray:
+def render_scene_frame(
+    scene: SyntheticScene, frame: int, baseline: float = 0.0
+) -> np.ndarray:
     """Render a grayscale uint8 image: world-anchored segments AND points.
 
     Crucial fixture property: everything with repeatable image structure is
@@ -198,10 +210,10 @@ def render_scene_frame(scene: SyntheticScene, frame: int) -> np.ndarray:
     """
     cam = scene.cam
     H, W = cam.height, cam.width
-    rng = np.random.default_rng(977351 + frame)  # fresh noise every frame
+    rng = np.random.default_rng(977351 + frame * 7 + (13 if baseline != 0.0 else 0))
     img = (rng.normal(110, 3, (H, W))).astype(np.float32)
 
-    uv, vis_p, seg, vis = scene_observations(scene, frame)
+    uv, vis_p, seg, vis = scene_observations(scene, frame, baseline=baseline)
 
     # World points as bright 5x5 blobs. Each point gets a deterministic
     # per-landmark brightness/asymmetry so BRIEF descriptors can tell them

@@ -1,0 +1,236 @@
+"""P2 — landmark-block-parallel BA over collectives (SURVEY.md §2.2).
+
+BASELINE.json:5: "batched Gauss-Newton with a Schur-complement reduction
+over landmark blocks, executed via jax.lax collectives (psum/all-gather) so
+keyframes and map blocks partition across a multi-host TPU pod slice".
+
+Sharding layout:
+  - landmark arrays (points, lines) and their observation buckets partition
+    over mesh axis 'block' (the landmark-major layout; producing it from the
+    frame-major table is the all-to-all reshard, P6);
+  - window poses are replicated.
+
+Per GN step inside shard_map:
+  local linearize -> local block assembly -> local partial Schur reduction
+  -> ONE psum over 'block' (the ICI crossing) -> every shard solves the
+  identical (replicated) 6Wx6W camera system -> local back-substitution.
+
+Numerical contract: equal to the single-device Schur path to float32
+tolerance — asserted on a fake 8-device CPU mesh (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from laneslam.backend.ba import BAProblem, _assemble, _linearize, _robust_cost
+from laneslam.config import BaConfig
+from laneslam.geometry import se3
+from laneslam.geometry.camera import Camera
+from laneslam.geometry.lines import plucker_retract
+
+
+class ShardedBAProblem(NamedTuple):
+    """BAProblem bucketed into B landmark blocks (leading axis = block)."""
+
+    T_cw: jnp.ndarray  # (W, 4, 4) replicated
+    points: jnp.ndarray  # (B, Np/B, 3)
+    lines: jnp.ndarray  # (B, Nl/B, 6)
+    pt_w: jnp.ndarray  # (B, Op)
+    pt_p: jnp.ndarray  # (B, Op) block-local indices
+    pt_uv: jnp.ndarray  # (B, Op, 2)
+    pt_valid: jnp.ndarray  # (B, Op)
+    ln_w: jnp.ndarray
+    ln_l: jnp.ndarray
+    ln_seg: jnp.ndarray
+    ln_valid: jnp.ndarray
+    pt_free: jnp.ndarray  # (B, Np/B)
+    ln_free: jnp.ndarray  # (B, Nl/B)
+
+
+def shard_problem(problem: BAProblem, n_blocks: int) -> ShardedBAProblem:
+    """Bucket observations by owning landmark block (contiguous ranges)."""
+    Np = problem.points.shape[0]
+    Nl = problem.lines.shape[0]
+    assert Np % n_blocks == 0 and Nl % n_blocks == 0, "capacities must divide"
+    npb = Np // n_blocks
+    nlb = Nl // n_blocks
+
+    def bucket(idx_lm, valid, per_block, arrays):
+        O = idx_lm.shape[0]
+        blk = jnp.clip(idx_lm // per_block, 0, n_blocks - 1)
+        order = jnp.argsort(blk, stable=True)
+        blk_s = blk[order]
+        first = jnp.searchsorted(blk_s, jnp.arange(n_blocks))
+        pos = jnp.arange(O) - first[blk_s]
+        out = []
+        for a in arrays:
+            a_s = a[order]
+            buf = jnp.zeros((n_blocks, O) + a.shape[1:], a.dtype)
+            buf = buf.at[blk_s, pos].set(a_s)
+            out.append(buf)
+        return out
+
+    pt_arrays = bucket(
+        problem.pt_p, problem.pt_valid, npb,
+        [problem.pt_w, problem.pt_p % npb, problem.pt_uv,
+         problem.pt_valid],
+    )
+    ln_arrays = bucket(
+        problem.ln_l, problem.ln_valid, nlb,
+        [problem.ln_w, problem.ln_l % nlb, problem.ln_seg, problem.ln_valid],
+    )
+    pt_free = (jnp.ones((Np,), bool) if problem.pt_free is None else problem.pt_free)
+    ln_free = (jnp.ones((Nl,), bool) if problem.ln_free is None else problem.ln_free)
+    return ShardedBAProblem(
+        T_cw=problem.T_cw,
+        points=problem.points.reshape(n_blocks, npb, 3),
+        lines=problem.lines.reshape(n_blocks, nlb, 6),
+        pt_w=pt_arrays[0], pt_p=pt_arrays[1], pt_uv=pt_arrays[2], pt_valid=pt_arrays[3],
+        ln_w=ln_arrays[0], ln_l=ln_arrays[1], ln_seg=ln_arrays[2], ln_valid=ln_arrays[3],
+        pt_free=pt_free.reshape(n_blocks, npb),
+        ln_free=ln_free.reshape(n_blocks, nlb),
+    )
+
+
+def unshard(sp: ShardedBAProblem):
+    """(T_cw, points (Np, 3), lines (Nl, 6)) in the original global layout."""
+    return sp.T_cw, sp.points.reshape(-1, 3), sp.lines.reshape(-1, 6)
+
+
+@partial(
+    jax.jit, static_argnames=("cam", "cfg", "mesh", "num_fixed_poses")
+)
+def ba_gn_step_sharded(
+    sp: ShardedBAProblem,
+    lam: jnp.ndarray,
+    cam: Camera,
+    mesh: Mesh,
+    cfg: BaConfig = BaConfig(),
+    num_fixed_poses: int = 1,
+) -> Tuple[ShardedBAProblem, jnp.ndarray]:
+    """One Schur-reduced GN step with landmark blocks sharded over 'block'."""
+    W = sp.T_cw.shape[0]
+    dtype = sp.T_cw.dtype
+    eyeW = jnp.eye(W, dtype=dtype)
+
+    def inner(points, lines, pt_w, pt_p, pt_uv, pt_valid,
+              ln_w, ln_l, ln_seg, ln_valid, pt_free, ln_free, T_cw):
+        """Per-shard body; block-sharded args keep a local leading axis."""
+
+        def one_block(pts_b, lns_b, ptw_b, ptp_b, ptuv_b, ptval_b,
+                      lnw_b, lnl_b, lnseg_b, lnval_b, ptfree_b, lnfree_b):
+            prob = BAProblem(
+                T_cw=T_cw, points=pts_b, lines=lns_b,
+                pt_w=ptw_b, pt_p=ptp_b, pt_uv=ptuv_b, pt_valid=ptval_b,
+                ln_w=lnw_b, ln_l=lnl_b, ln_seg=lnseg_b, ln_valid=lnval_b,
+                pt_free=ptfree_b, ln_free=lnfree_b,
+            )
+            lin_p, lin_l = _linearize(prob, cam, cfg.huber_px)
+            cost_b = _robust_cost(lin_p, lin_l)
+            Hcc, gc, Hpp, gp, Bp, Hll, gl, Bl = _assemble(prob, lin_p, lin_l)
+            S_b = jnp.einsum("wab,wv->wvab", Hcc, eyeW)
+            g_b = gc
+            Hinv_p = jnp.linalg.inv(Hpp + (lam + 1e-8) * jnp.eye(3, dtype=dtype))
+            Cp = jnp.einsum("nwad,nde->nwae", Bp, Hinv_p)
+            S_b = S_b - jnp.einsum("nwae,nvbe->wvab", Cp, Bp)
+            g_b = g_b - jnp.einsum("nwae,ne->wa", Cp, gp)
+            Hinv_l = jnp.linalg.inv(Hll + (lam + 1e-8) * jnp.eye(4, dtype=dtype))
+            Cl = jnp.einsum("nwad,nde->nwae", Bl, Hinv_l)
+            S_b = S_b - jnp.einsum("nwae,nvbe->wvab", Cl, Bl)
+            g_b = g_b - jnp.einsum("nwae,ne->wa", Cl, gl)
+            return cost_b, S_b, g_b, (Hinv_p, gp, Bp), (Hinv_l, gl, Bl)
+
+        cost_bs, S_bs, g_bs, ptb, lnb = jax.vmap(one_block)(
+            points, lines, pt_w, pt_p, pt_uv, pt_valid,
+            ln_w, ln_l, ln_seg, ln_valid, pt_free, ln_free,
+        )
+        # Local partial sums, then ONE psum over the block axis (ICI).
+        cost = jax.lax.psum(jnp.sum(cost_bs), "block")
+        S_full = jax.lax.psum(jnp.sum(S_bs, axis=0), "block")
+        g_red = jax.lax.psum(jnp.sum(g_bs, axis=0), "block")
+
+        S_full = S_full + jnp.einsum("wv,ab->wvab", eyeW, lam * jnp.eye(6, dtype=dtype))
+        free = (jnp.arange(W) >= num_fixed_poses).astype(dtype)
+        S_full = S_full * free[:, None, None, None] * free[None, :, None, None]
+        g_red = g_red * free[:, None]
+        S_full = S_full + jnp.einsum(
+            "wv,ab->wvab", jnp.diag(1.0 - free), jnp.eye(6, dtype=dtype)
+        )
+        A = jnp.transpose(S_full, (0, 2, 1, 3)).reshape(W * 6, W * 6)
+        delta_c = -jnp.linalg.solve(A, g_red.reshape(-1)).reshape(W, 6)
+        delta_c = delta_c * free[:, None]
+
+        def back(pts_b, lns_b, ptb_b, lnb_b):
+            Hinv_p, gp, Bp = ptb_b
+            Hinv_l, gl, Bl = lnb_b
+            d_p = -jnp.einsum(
+                "nde,ne->nd", Hinv_p,
+                gp + jnp.einsum("nwad,wa->nd", Bp, delta_c),
+            )
+            d_l = -jnp.einsum(
+                "nde,ne->nd", Hinv_l,
+                gl + jnp.einsum("nwad,wa->nd", Bl, delta_c),
+            )
+            return pts_b + d_p, plucker_retract(lns_b, d_l)
+
+        new_pts, new_lns = jax.vmap(back)(points, lines, ptb, lnb)
+        T_new = se3.retract(T_cw, delta_c)
+        return new_pts, new_lns, T_new, cost
+
+    blk = P("block")
+    rep = P()
+    fn = jax.shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, rep),
+        out_specs=(blk, blk, rep, rep),
+    )
+    new_pts, new_lns, T_new, cost = fn(
+        sp.points, sp.lines, sp.pt_w, sp.pt_p, sp.pt_uv, sp.pt_valid,
+        sp.ln_w, sp.ln_l, sp.ln_seg, sp.ln_valid, sp.pt_free, sp.ln_free,
+        sp.T_cw,
+    )
+    return sp._replace(T_cw=T_new, points=new_pts, lines=new_lns), cost
+
+
+def ba_solve_sharded(
+    problem: BAProblem,
+    cam: Camera,
+    mesh: Mesh,
+    cfg: BaConfig = BaConfig(),
+    num_fixed_poses: int = 1,
+):
+    """Full sharded LM solve: accept/reject on the psum'd global cost.
+
+    Returns (BAProblem with updated state, costs (iters,)).
+    """
+    n_blocks = mesh.shape["block"]
+    sp = shard_problem(problem, n_blocks)
+    lam = jnp.asarray(cfg.damping, sp.T_cw.dtype)
+    costs = []
+    prev_cost = None
+    for _ in range(cfg.gn_iters):
+        cand, cost = ba_gn_step_sharded(
+            sp, lam, cam, mesh, cfg, num_fixed_poses
+        )
+        # LM control on host: `cost` is the (replicated) robust cost at the
+        # current linearization point — if it rose versus the last accepted
+        # step, the previous update overshot: revert is impossible here, so
+        # raise damping and keep stepping (bounded oscillation; the window
+        # solver's trip count is small and fixed).
+        if prev_cost is not None and float(cost) > float(prev_cost):
+            lam = lam * 8.0
+        else:
+            lam = jnp.maximum(lam * 0.3, jnp.asarray(1e-9, lam.dtype))
+        prev_cost = cost
+        sp = cand
+        costs.append(cost)
+    T_cw, pts, lns = unshard(sp)
+    out = problem._replace(T_cw=T_cw, points=pts, lines=lns)
+    return out, jnp.stack(costs)

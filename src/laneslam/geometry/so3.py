@@ -46,19 +46,23 @@ def exp(w: jnp.ndarray) -> jnp.ndarray:
 def log(R: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix (..., 3, 3) -> axis-angle (..., 3).
 
-    Valid for rotation angle < pi (SLAM increments are always small); the
-    angle is recovered from the trace and the axis from the skew part.
+    Valid for rotation angle < pi (SLAM increments are always small). The
+    angle comes from atan2(|skew|/2, (tr-1)/2) — NOT arccos — so the map is
+    differentiable at the identity (jacfwd through arccos(1) yields NaN,
+    which poisoned zero-weight padded pose-graph edges).
     """
+    w = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    theta2 = theta * theta
-    # theta / (2 sin(theta)) with Taylor guard.
-    small = theta2 < 1e-8
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(w * w, axis=-1) + _EPS * _EPS)
+    theta = jnp.arctan2(sin_t, cos_t)
+    # theta / (2 sin(theta)) with Taylor guard around 0.
+    small = theta * theta < 1e-8
     factor = jnp.where(
-        small, 0.5 + theta2 / 12.0, theta / (2.0 * jnp.sin(jnp.where(small, 1.0, theta)))
+        small,
+        0.5 + theta * theta / 12.0,
+        theta / jnp.maximum(2.0 * sin_t, _EPS),
     )
-    w = vee(R - jnp.swapaxes(R, -1, -2))
     return factor[..., None] * w
 
 

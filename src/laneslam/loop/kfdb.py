@@ -55,10 +55,19 @@ def query_kfdb(
     query: jnp.ndarray,  # (C,)
     query_kf_id: jnp.ndarray,  # scalar: the querying keyframe (excluded + gap)
     cfg: LoopConfig = LoopConfig(),
+    covis_row: jnp.ndarray | None = None,  # (K,) shared-landmark counts
 ):
-    """Top-k loop candidates: (ids (k,), sims (k,)); id -1 below threshold."""
+    """Top-k loop candidates: (ids (k,), sims (k,)); id -1 below threshold.
+
+    Candidates must be older than a small keyframe gap AND (if the
+    covisibility row is given) share no landmarks with the query — the
+    standard exclusion of the covisible neighborhood, which scales with
+    keyframe density where a fixed id-gap does not.
+    """
     sim = db @ query  # (K,) one GEMV on device
     gap_ok = jnp.arange(db.shape[0]) < (query_kf_id - cfg.min_kf_gap)
+    if covis_row is not None:
+        gap_ok = gap_ok & (covis_row < cfg.covis_exclusion)
     sim = jnp.where(kf_valid & gap_ok, sim, -1e9)
     top_sim, top_idx = jax.lax.top_k(sim, cfg.top_k)
     ok = top_sim > cfg.min_similarity

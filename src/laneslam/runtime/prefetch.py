@@ -1,0 +1,60 @@
+"""Double-buffered host->device frame feed (SURVEY.md §7.3.7, P3).
+
+BASELINE.json:5 mandates "double-buffered host I/O so the optimize/match
+loop never leaves HBM": frame t+1 decodes on a background thread and
+uploads (async `jax.device_put`) while frame t computes. On 2-CPU hosts the
+PNG decode is the bottleneck; the thread pool + depth-2 queue hides it.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class Prefetcher:
+    """Wrap a host frame iterator with decode-ahead + async device upload."""
+
+    def __init__(
+        self,
+        frames: Iterator,
+        depth: int = 2,
+        transform: Optional[Callable] = None,
+        device=None,
+    ):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._transform = transform
+        self._device = device or jax.devices()[0]
+        self._done = object()
+        self._thread = threading.Thread(
+            target=self._worker, args=(frames,), daemon=True
+        )
+        self._thread.start()
+
+    def _worker(self, frames):
+        try:
+            for item in frames:
+                if self._transform is not None:
+                    item = self._transform(item)
+                # Async upload: device_put returns immediately; the transfer
+                # overlaps with the consumer's compute.
+                item = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(np.asarray(x), self._device)
+                    if isinstance(x, np.ndarray)
+                    else x,
+                    item,
+                )
+                self._q.put(item)
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item

@@ -198,6 +198,97 @@ def _make_keyframe(
     return m, kf_id, T_rel, new_pts, new_lns
 
 
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _track_map_lines(
+    m: MapState, cur: FrameFeatures, T_wc: jnp.ndarray, cfg: SlamConfig, cam: Camera
+):
+    """Associate current segments with map line landmarks: descriptor GEMM
+    gated by projected-infinite-line distance + orientation."""
+    from laneslam.geometry.camera import project_line
+    from laneslam.geometry.lines import plucker_transform
+
+    T_cw = se3.inverse(T_wc)
+    L_c = plucker_transform(T_cw, m.ln_plucker)  # (L, 6)
+    l_img = project_line(cam, L_c)  # (L, 3)
+    norm = jnp.sqrt(l_img[:, 0] ** 2 + l_img[:, 1] ** 2)
+    l_n = l_img / jnp.maximum(norm, 1e-9)[:, None]
+    mid = cur.segments.midpoint()  # (Kl, 2)
+    dist = jnp.abs(
+        mid[:, None, 0] * l_n[None, :, 0]
+        + mid[:, None, 1] * l_n[None, :, 1]
+        + l_n[None, :, 2]
+    )  # (Kl, L)
+    ang_map = jnp.arctan2(-l_n[:, 0], l_n[:, 1])  # image-line direction
+    da = cur.segments.angle[:, None] - ang_map[None, :]
+    da = jnp.abs(jnp.arctan2(jnp.sin(da), jnp.cos(da)))
+    da = jnp.minimum(da, jnp.pi - da)
+    gate = (dist < 30.0) & (da < jnp.deg2rad(15.0))
+    lm = match_descriptors(
+        cur.line_desc, m.ln_desc, cur.segments.valid, m.ln_valid,
+        gate=gate, ratio=cfg.match.ratio, cross_check=True,
+    )
+    return jnp.where(lm.valid, lm.idx, -1)  # (Kl,) landmark id per cur slot
+
+
+@partial(jax.jit, static_argnames=("cfg", "cam"))
+def _make_keyframe_stereo(
+    m: MapState,
+    kf_prev: jnp.ndarray,
+    cur: FrameFeatures,
+    depths,  # StereoDepths
+    cur_lm: jnp.ndarray,
+    pnp_inliers: jnp.ndarray,
+    T_wc_cur: jnp.ndarray,
+    vocab: jnp.ndarray,
+    cfg: SlamConfig,
+    cam: Camera,
+):
+    """Stereo keyframe: landmarks born metric from one stereo pair."""
+    from laneslam.geometry.camera import backproject
+    from laneslam.geometry.lines import plucker_from_endpoints, plucker_normalize
+
+    # --- points.
+    tracked_lm = jnp.where(pnp_inliers, cur_lm, -1)
+    X_c = backproject(cam, cur.points.uv, depths.pt_depth)
+    X_w = se3.transform_points(T_wc_cur, X_c)
+    is_new = (
+        depths.pt_valid & (tracked_lm < 0) & cur.points.valid
+        & (depths.pt_depth > 0.2) & (depths.pt_depth < 120.0)
+    )
+    m, new_ids = ops.add_points(
+        m, X_w, cur.point_desc, is_new, jnp.full(X_w.shape[0], m.kf_count, jnp.int32)
+    )
+    slot_lm = jnp.where(new_ids >= 0, new_ids, tracked_lm)
+
+    # --- lines: track against map, then create the rest from stereo depth.
+    tracked_ln = _track_map_lines(m, cur, T_wc_cur, cfg, cam)
+    e1_c = backproject(cam, cur.segments.xyxy[:, :2], depths.ln_depth12[:, 0])
+    e2_c = backproject(cam, cur.segments.xyxy[:, 2:], depths.ln_depth12[:, 1])
+    L_w = plucker_normalize(
+        plucker_from_endpoints(
+            se3.transform_points(T_wc_cur, e1_c), se3.transform_points(T_wc_cur, e2_c)
+        )
+    )
+    ln_new = (
+        depths.ln_valid & (tracked_ln < 0) & cur.segments.valid
+        & jnp.all(depths.ln_depth12 > 0.2, axis=-1)
+        & jnp.all(depths.ln_depth12 < 120.0, axis=-1)
+    )
+    m, new_lids = ops.add_lines(
+        m, L_w, cur.line_desc, ln_new, jnp.full(L_w.shape[0], m.kf_count, jnp.int32)
+    )
+    slot_ln = jnp.where(new_lids >= 0, new_lids, tracked_ln)
+
+    agg = aggregate_descriptor(cur.point_desc, cur.points.valid, vocab)
+    m, kf_id = ops.insert_keyframe(
+        m, T_wc_cur,
+        jnp.where(cur.points.valid, slot_lm, -1), cur.points.uv,
+        jnp.where(cur.segments.valid, slot_ln, -1), cur.segments.xyxy, agg,
+    )
+    T_rel = se3.inverse(m.kf_T_wc[kf_prev]) @ T_wc_cur
+    return m, kf_id, T_rel, jnp.sum(new_ids >= 0), jnp.sum(new_lids >= 0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed"))
 def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
     ids, slot_valid = ops.window_ids(m, cfg.ba.window_size)
@@ -262,7 +353,8 @@ def _run_pgo(m: MapState, es: EdgeStore, cfg: SlamConfig):
 
 class SlamSystem:
     def __init__(self, cfg: SlamConfig, cam: Camera, seed: int = 0,
-                 enable_loop: bool = True, enable_ba: bool = True):
+                 enable_loop: bool = True, enable_ba: bool = True,
+                 stereo: bool = False):
         import dataclasses
 
         # Observation rows are feature-slot aligned (see module docstring):
@@ -285,6 +377,7 @@ class SlamSystem:
         self.edges = EdgeStore.empty(4 * cfg.map.max_keyframes)
         self.enable_loop = enable_loop
         self.enable_ba = enable_ba
+        self.stereo = stereo and cam.baseline > 0
         self.kf_feats: Optional[FrameFeatures] = None  # features of last KF
         self.kf_id = None
         self.bootstrapped = False
@@ -292,6 +385,9 @@ class SlamSystem:
         self.T_cur = jnp.eye(4)
         self._last_rel = jnp.eye(4)  # constant-velocity fallback motion
         self.poses: list = []
+        # Per-frame (ref_kf_id, T_ref_frame): frames recompose against the
+        # FINAL keyframe poses so loop closures correct the whole trajectory.
+        self.frame_refs: list = []
         self.stats: list = []
         self.num_loops = 0
 
@@ -299,9 +395,50 @@ class SlamSystem:
         self.key, sub = jax.random.split(self.key)
         return sub
 
-    def process_frame(self, img: np.ndarray) -> np.ndarray:
+    def _record_ref(self, T_wc):
+        if self.kf_id is None:
+            self.frame_refs.append((-1, np.eye(4, dtype=np.float32)))
+        else:
+            T_kf = self.map.kf_T_wc[self.kf_id]
+            rel = np.asarray(se3.inverse(T_kf) @ jnp.asarray(T_wc), np.float32)
+            self.frame_refs.append((int(self.kf_id), rel))
+
+    def process_frame(
+        self, img: np.ndarray, img_right: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         cfg, cam = self.cfg, self.cam
         feats = extract_features(jnp.asarray(img, jnp.float32), cfg)
+        depths = None
+        if self.stereo and img_right is not None:
+            from laneslam.frontend.stereo import stereo_match
+
+            feats_r = extract_features(jnp.asarray(img_right, jnp.float32), cfg)
+            depths = stereo_match(
+                feats, feats_r, float(cam.fx), float(cam.baseline), cfg
+            )
+
+        if self.stereo and not self.bootstrapped:
+            # Stereo bootstrap: the very first pair births a metric map.
+            if depths is None or int(depths.pt_valid.sum()) < cfg.frontend.min_track_inliers:
+                self.poses.append(np.eye(4, dtype=np.float32))
+                return self.poses[-1]
+            Kc = feats.points.uv.shape[0]
+            no_lm = jnp.full((Kc,), -1, jnp.int32)
+            no_inl = jnp.zeros((Kc,), bool)
+            m, kf0, _, n_p, n_l = _make_keyframe_stereo(
+                self.map, jnp.asarray(0), feats, depths, no_lm, no_inl,
+                jnp.eye(4), self._vocab, cfg, cam,
+            )
+            self.map = m
+            self.kf_id = kf0
+            self.kf_feats = feats
+            self.bootstrapped = True
+            self.frames_since_kf = 0
+            self.poses.append(np.eye(4, dtype=np.float32))
+            self._record_ref(self.poses[-1])
+            self.stats.append({"event": "stereo_bootstrap", "points": int(n_p),
+                               "lines": int(n_l)})
+            return self.poses[-1]
 
         if self.kf_feats is None:
             # First frame: keyframe 0 at the origin with no landmarks yet.
@@ -316,6 +453,7 @@ class SlamSystem:
             self.kf_id = kf0
             self.kf_feats = feats
             self.poses.append(np.eye(4, dtype=np.float32))
+            self._record_ref(self.poses[-1])
             return self.poses[-1]
 
         if not self.bootstrapped:
@@ -330,6 +468,7 @@ class SlamSystem:
                     self.kf_feats = feats
                 # else: good matches but not enough parallax — keep waiting.
                 self.poses.append(self.poses[-1])
+                self._record_ref(self.poses[-1])
                 return self.poses[-1]
             # Insert landmarks anchored at KF0 slots + keyframe 1.
             m = self.map
@@ -369,6 +508,7 @@ class SlamSystem:
             self._last_rel = T_wc1
             self.frames_since_kf = 0
             self.poses.append(np.asarray(T_wc1, np.float32))
+            self._record_ref(self.poses[-1])
             self.stats.append({"event": "bootstrap", "inliers": int(n_inl)})
             return self.poses[-1]
 
@@ -398,10 +538,16 @@ class SlamSystem:
         stat = {"inliers": n_inl_i, "tracked": n_tracked, "kf": bool(need_kf)}
 
         if need_kf and n_inl_i >= cfg.frontend.min_track_inliers:
-            m, kf_id, T_rel, n_new_p, n_new_l = _make_keyframe(
-                self.map, self.kf_id, self.kf_feats, feats, cur_lm, inl_mask,
-                T_wc, self._vocab, cfg, cam,
-            )
+            if self.stereo and depths is not None:
+                m, kf_id, T_rel, n_new_p, n_new_l = _make_keyframe_stereo(
+                    self.map, self.kf_id, feats, depths, cur_lm, inl_mask,
+                    T_wc, self._vocab, cfg, cam,
+                )
+            else:
+                m, kf_id, T_rel, n_new_p, n_new_l = _make_keyframe(
+                    self.map, self.kf_id, self.kf_feats, feats, cur_lm, inl_mask,
+                    T_wc, self._vocab, cfg, cam,
+                )
             self.edges = _add_edge(self.edges, self.kf_id, kf_id, T_rel, jnp.asarray(1.0))
             self.map = m
             prev_kf = self.kf_id
@@ -422,28 +568,43 @@ class SlamSystem:
                 cand_ids, sims = query_kfdb(
                     self.map.kf_agg_desc, self.map.kf_valid,
                     self.map.kf_agg_desc[kf_id], kf_id, cfg.loop,
+                    covis_row=self.map.covis[kf_id],
                 )
-                best = int(cand_ids[0])
-                if best >= 0:
+                # Retrieval ranks coarsely; geometric verification is the
+                # discriminative stage — check every top-k candidate.
+                for cand in np.asarray(cand_ids).tolist():
+                    if cand < 0:
+                        continue
                     lr = verify_loop(
-                        self.map, kf_id, jnp.asarray(best), self._split(), cfg.loop
+                        self.map, kf_id, jnp.asarray(cand), self._split(), cfg.loop
                     )
                     if bool(lr.accepted):
                         self.edges = _add_edge(
-                            self.edges, jnp.asarray(best), kf_id,
+                            self.edges, jnp.asarray(cand), kf_id,
                             lr.T_rel, jnp.asarray(2.0),
                         )
                         self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
                         self.T_cur = self.map.kf_T_wc[kf_id]
                         self.poses[-1] = np.asarray(self.T_cur, np.float32)
                         self.num_loops += 1
-                        stat["loop"] = best
+                        stat["loop"] = cand
                         stat["loop_inliers"] = int(lr.num_inliers)
+                        break
 
         self.stats.append(stat)
+        self._record_ref(self.poses[-1])
         return self.poses[-1]
 
     def trajectory(self) -> np.ndarray:
+        """Full per-frame trajectory recomposed against FINAL keyframe poses
+        (so loop-closure corrections propagate to all past frames)."""
+        kf_poses = np.asarray(self.map.kf_T_wc)
+        out = []
+        for (kf, rel), raw in zip(self.frame_refs, self.poses):
+            out.append(raw if kf < 0 else (kf_poses[kf] @ rel).astype(np.float32))
+        return np.stack(out)
+
+    def raw_trajectory(self) -> np.ndarray:
         return np.stack(self.poses)
 
     def keyframe_trajectory(self) -> np.ndarray:
