@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Config 5 (BASELINE.json:11): multi-session merged map with keyframe/map
+blocks sharded across devices/hosts; distributed PGO + BA over collectives.
+
+Single-host (fake mesh for testing the collective paths):
+  JAX_NUM_CPU_DEVICES: use --backend cpu --devices 8
+
+Multi-host SPMD (one process per host; identical command + --process-id):
+  python scripts/run_distributed.py --coordinator host0:1234 \
+      --num-processes 2 --process-id $RANK
+
+Pipeline: build/load N overlapping sessions (synthetic stereo SLAM runs or
+--session-ckpt checkpoints) -> cross-session place recognition + 3D-3D
+alignment -> merged map -> trajectory-sharded joint PGO ('frame' axis) ->
+landmark-block-sharded BA refinement ('block' axis) -> report.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default="auto", choices=["auto", "cpu", "tpu"])
+    ap.add_argument("--devices", type=int, default=0, help="fake CPU device count")
+    ap.add_argument("--sessions", type=int, default=3)
+    ap.add_argument("--frames-per-session", type=int, default=18)
+    ap.add_argument("--overlap", type=int, default=6)
+    ap.add_argument("--session-ckpt", action="append", default=[],
+                    help="load session from checkpoint instead of running SLAM")
+    ap.add_argument("--coordinator", default="")
+    ap.add_argument("--num-processes", type=int, default=1)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--save-merged", default="")
+    args = ap.parse_args()
+
+    if args.backend == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        if args.devices:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.devices}"
+                ).strip()
+    import jax
+
+    if args.backend == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    if args.coordinator:
+        from laneslam.dist.mesh import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from laneslam.config import BaConfig, MapConfig, PgoConfig, SlamConfig, DataConfig
+    from laneslam.backend.pgo import PgoProblem
+    from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
+    from laneslam.dist.ba_tp import ba_gn_step_sharded, shard_problem, unshard
+    from laneslam.dist.mesh import make_mesh
+    from laneslam.dist.pgo_sp import pgo_solve_sharded
+    from laneslam.map import ops
+    from laneslam.map.merge import merge_sessions
+    from laneslam.system import SlamSystem
+
+    n_dev = jax.device_count()
+    # Axis split: 'frame' gets the larger share (trajectory spans), 'block'
+    # the rest. On one device both are 1.
+    frame_ax = max(1, n_dev // 2) if n_dev > 1 else 1
+    block_ax = n_dev // frame_ax
+    print(f"[distributed] devices={n_dev} mesh=(frame={frame_ax}, block={block_ax}) "
+          f"process={args.process_id}/{args.num_processes}")
+
+    # --- 1. Sessions: overlapping segments of one long trajectory ---------
+    small_map = MapConfig(max_keyframes=64, max_points=2048, max_lines=512)
+    cfg = SlamConfig(map=small_map)
+    sessions = []
+    t0 = time.perf_counter()
+    if args.session_ckpt:
+        from laneslam.runtime.checkpoint import load_map_state
+
+        for p in args.session_ckpt:
+            m, es, _ = load_map_state(p)
+            sessions.append((m, es))
+        print(f"[distributed] loaded {len(sessions)} session checkpoints")
+    else:
+        total = args.sessions * args.frames_per_session
+        scene = make_corridor_scene(seed=0, num_frames=total)
+        cam = scene.cam._replace(baseline=0.5)
+        step = args.frames_per_session - args.overlap
+        for s in range(args.sessions):
+            start = s * step
+            sys_ = SlamSystem(cfg, cam, stereo=True, enable_loop=False, seed=s)
+            for f in range(start, min(start + args.frames_per_session, total)):
+                sys_.process_frame(
+                    render_scene_frame(scene, f),
+                    img_right=render_scene_frame(scene, f, baseline=0.5),
+                )
+            sessions.append((sys_.map, sys_.edges))
+            print(f"[distributed] session {s}: frames {start}..{start + args.frames_per_session} "
+                  f"kf={int(sys_.map.kf_count)} pts={int(sys_.map.pt_count)}")
+    t_sessions = time.perf_counter() - t0
+
+    # --- 2. Merge + cross-session alignment ------------------------------
+    t0 = time.perf_counter()
+    maps = [s[0] for s in sessions]
+    stores = [s[1] for s in sessions]
+    merged, (ei, ej, eT, ew), links = merge_sessions(
+        maps, stores, jax.random.PRNGKey(7), cfg.loop
+    )
+    print(f"[distributed] merged: kf={int(merged.kf_count)} pts={int(merged.pt_count)} "
+          f"cross_links={len(links)} "
+          f"{[(l.kf_a, l.kf_b, l.num_inliers) for l in links]}")
+    t_merge = time.perf_counter() - t0
+
+    # --- 3. Joint PGO, trajectory-sharded over 'frame' --------------------
+    mesh_f = make_mesh(jax.devices(), frame=n_dev, block=1)
+    K = merged.kf_T_wc.shape[0]
+    E = ei.shape[0]
+    pad_e = (-E) % max(n_dev, 1)
+    prob = PgoProblem(
+        T_wc=merged.kf_T_wc,
+        node_valid=merged.kf_valid,
+        edge_i=jnp.pad(ei, (0, pad_e)),
+        edge_j=jnp.pad(ej, (0, pad_e)),
+        edge_T=jnp.pad(eT, ((0, pad_e), (0, 0), (0, 0))),
+        edge_weight=jnp.pad(ew, (0, pad_e)),
+    )
+    if pad_e:  # padded (zero-weight) edges still need valid SE(3) entries
+        idx = jnp.arange(E, E + pad_e)
+        prob = prob._replace(edge_T=prob.edge_T.at[idx].set(jnp.eye(4)))
+    t0 = time.perf_counter()
+    out, costs = pgo_solve_sharded(
+        prob, mesh_f, PgoConfig(gn_iters=10, damping=1e-6), cg_iters=60
+    )
+    jax.block_until_ready(out.T_wc)
+    t_pgo = time.perf_counter() - t0
+    merged = ops.apply_pose_corrections(merged, out.T_wc)
+    print(f"[distributed] joint PGO cost {float(costs[0]):.4f} -> {float(costs[-1]):.6f} "
+          f"({t_pgo:.2f}s)")
+
+    # --- 4. BA refinement, landmark-block-sharded over all devices --------
+    mesh_b = make_mesh(jax.devices(), frame=1, block=n_dev)
+    ids, slot_valid = ops.window_ids(merged, 8)
+    ba_prob = ops.gather_window(merged, ids, slot_valid)
+    sp = shard_problem(ba_prob, n_dev)
+    t0 = time.perf_counter()
+    sp, cost = ba_gn_step_sharded(
+        sp, jnp.asarray(1e-4, jnp.float32), _cam_tuple(cfg, sessions), mesh_b,
+        BaConfig(gn_iters=1), num_fixed_poses=2,
+    )
+    jax.block_until_ready(sp.points)
+    t_ba = time.perf_counter() - t0
+    print(f"[distributed] sharded BA step cost {float(cost):.3f} ({t_ba:.2f}s)")
+
+    if args.save_merged:
+        from laneslam.runtime.checkpoint import save_map_state
+
+        save_map_state(args.save_merged, merged)
+        print(f"[distributed] saved merged map to {args.save_merged}")
+
+    print(
+        f"RESULT sessions={len(sessions)} cross_links={len(links)} "
+        f"kf={int(merged.kf_count)} pgo_cost_final={float(costs[-1]):.6f} "
+        f"t_sessions={t_sessions:.1f}s t_merge={t_merge:.1f}s "
+        f"t_pgo={t_pgo:.2f}s t_ba_step={t_ba:.2f}s"
+    )
+    return 0
+
+
+def _cam_tuple(cfg, sessions):
+    from laneslam.geometry.camera import Camera
+
+    # Synthetic default camera (sessions built above share it).
+    return Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0,
+                  width=640, height=480, baseline=0.5)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
