@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from laneslam.config import BaConfig
+from laneslam.kernels.schur import schur_reduce
 from laneslam.backend.residuals import (
     huber_weight,
     line_obs_linearize,
@@ -148,15 +149,16 @@ def _schur_solve(Hcc, gc, lm_blocks, damping, num_fixed_poses):
     Hinvs = []
     for H, g, B in lm_blocks:
         d = H.shape[-1]
-        Hd = H + damping * jnp.eye(d, dtype=dtype)
+        N = H.shape[0]
         # Regularize empty blocks so inversion is well-defined; their B and g
         # are zero so they contribute nothing.
-        Hd = Hd + 1e-8 * jnp.eye(d, dtype=dtype)
-        Hinv = jnp.linalg.inv(Hd)  # batched (N, d, d)
+        Hd = H + (damping + 1e-8) * jnp.eye(d, dtype=dtype)
+        # Fused reduce: closed-form batched block inverse + S/g contraction
+        # (kernels/schur.py — Pallas on TPU for large N, XLA elsewhere).
+        Hinv, S_c, g_c = schur_reduce(Hd, g, B.reshape(N, W * 6, d))
         Hinvs.append(Hinv)
-        C = jnp.einsum("nwad,nde->nwae", B, Hinv)  # (N, W, 6, d)
-        S_full = S_full - jnp.einsum("nwae,nvbe->wvab", C, B)
-        g_red = g_red - jnp.einsum("nwae,ne->wa", C, g)
+        S_full = S_full - S_c.reshape(W, 6, W, 6).transpose(0, 2, 1, 3)
+        g_red = g_red - g_c.reshape(W, 6)
 
     # Gauge fix: freeze the first `num_fixed_poses` poses.
     free = (jnp.arange(W) >= num_fixed_poses).astype(dtype)  # (W,)

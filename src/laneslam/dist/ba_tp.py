@@ -33,6 +33,7 @@ from laneslam.config import BaConfig
 from laneslam.geometry import se3
 from laneslam.geometry.camera import Camera
 from laneslam.geometry.lines import plucker_retract
+from laneslam.kernels.schur import inv_sym_batched
 
 
 class ShardedBAProblem(NamedTuple):
@@ -136,11 +137,13 @@ def ba_gn_step_sharded(
             Hcc, gc, Hpp, gp, Bp, Hll, gl, Bl = _assemble(prob, lin_p, lin_l)
             S_b = jnp.einsum("wab,wv->wvab", Hcc, eyeW)
             g_b = gc
-            Hinv_p = jnp.linalg.inv(Hpp + (lam + 1e-8) * jnp.eye(3, dtype=dtype))
+            # Closed-form symmetric block inverses (kernels/schur.py) — the
+            # LU loop jnp.linalg.inv emits is scalar-bound on TPU.
+            Hinv_p = inv_sym_batched(Hpp + (lam + 1e-8) * jnp.eye(3, dtype=dtype))
             Cp = jnp.einsum("nwad,nde->nwae", Bp, Hinv_p)
             S_b = S_b - jnp.einsum("nwae,nvbe->wvab", Cp, Bp)
             g_b = g_b - jnp.einsum("nwae,ne->wa", Cp, gp)
-            Hinv_l = jnp.linalg.inv(Hll + (lam + 1e-8) * jnp.eye(4, dtype=dtype))
+            Hinv_l = inv_sym_batched(Hll + (lam + 1e-8) * jnp.eye(4, dtype=dtype))
             Cl = jnp.einsum("nwad,nde->nwae", Bl, Hinv_l)
             S_b = S_b - jnp.einsum("nwae,nvbe->wvab", Cl, Bl)
             g_b = g_b - jnp.einsum("nwae,ne->wa", Cl, gl)

@@ -57,34 +57,6 @@ def _gradient_field(img: jnp.ndarray):
     return gx, gy, mag * border, angle
 
 
-def _angle_close(a: jnp.ndarray, b: jnp.ndarray, tol: float) -> jnp.ndarray:
-    """|wrap(a - b)| < tol on the circle (level-line angles are mod 2pi)."""
-    d = a - b
-    d = jnp.abs(jnp.arctan2(jnp.sin(d), jnp.cos(d)))
-    return d < tol
-
-
-def _shift2(x: jnp.ndarray, dy: int, dx: int, fill):
-    """Shift with fill (no wraparound)."""
-    out = jnp.roll(jnp.roll(x, dy, axis=0), dx, axis=1)
-    H, W = x.shape
-    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    ok = jnp.ones((H, W), bool)
-    if dy > 0:
-        ok &= yy >= dy
-    if dy < 0:
-        ok &= yy < H + dy
-    if dx > 0:
-        ok &= xx >= dx
-    if dx < 0:
-        ok &= xx < W + dx
-    return jnp.where(ok, out, fill)
-
-
-_NEIGHBORS = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
-
-
 def _label_components(mask: jnp.ndarray, angle: jnp.ndarray, cfg: LsdConfig) -> jnp.ndarray:
     """Angle-compatible connected components by max-label propagation.
 
@@ -96,32 +68,36 @@ def _label_components(mask: jnp.ndarray, angle: jnp.ndarray, cfg: LsdConfig) -> 
         + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     )
     labels0 = jnp.where(mask, lin, -1)
-    tol = jnp.deg2rad(cfg.angle_tol_deg)
 
-    # Precompute per-direction connectivity (static masks, reused each sweep).
-    conn = []
-    for dy, dx in _NEIGHBORS:
-        nb_mask = _shift2(mask, dy, dx, False)
-        nb_angle = _shift2(angle, dy, dx, 0.0)
-        conn.append(mask & nb_mask & _angle_close(angle, nb_angle, tol))
-    conn = jnp.stack(conn)  # (8, H, W)
+    # Connectivity is angle-compatibility of 8-neighbors — invariant across
+    # sweeps AND outer iterations, so it is computed once and packed into one
+    # int32 bit plane (kernels/lsd_sweep.py). The sweep itself dispatches to
+    # the Pallas kernel or the XLA path; both were measured at parity on TPU
+    # v5e (~540us per 4 sweeps on KITTI-size images — XLA fuses this stencil
+    # well), so the default stays XLA and the kernel remains available for
+    # LANESLAM_KERNELS=pallas.
+    from laneslam import kernels
+    from laneslam.kernels.lsd_sweep import conn_bits, lsd_sweep_pallas, lsd_sweep_xla
 
-    def sweep(labels):
-        best = labels
-        for k, (dy, dx) in enumerate(_NEIGHBORS):
-            nb = _shift2(labels, dy, dx, -1)
-            best = jnp.maximum(best, jnp.where(conn[k], nb, -1))
-        return best
+    import math
+
+    bits = conn_bits(mask, angle, math.radians(cfg.angle_tol_deg))
+    forced = __import__("os").environ.get("LANESLAM_KERNELS", "") == "pallas"
+
+    def do_sweeps(labels):
+        if forced:
+            return lsd_sweep_pallas(
+                labels, bits, cfg.local_sweeps, interpret=kernels.interpret()
+            )
+        return lsd_sweep_xla(labels, bits, cfg.local_sweeps)
 
     def outer(_, labels):
-        for _ in range(cfg.local_sweeps):
-            labels = sweep(labels)
+        labels = do_sweeps(labels)
         # Pointer jumping: follow label chains (monotone increasing), so the
         # propagation distance doubles. labels.flat[l] for l >= 0.
         flat = labels.reshape(-1)
         jumped = flat[jnp.maximum(labels, 0)]
-        labels = jnp.where(labels >= 0, jnp.maximum(labels, jumped), -1)
-        return labels
+        return jnp.where(labels >= 0, jnp.maximum(labels, jumped), -1)
 
     return jax.lax.fori_loop(0, cfg.prop_iters, outer, labels0)
 

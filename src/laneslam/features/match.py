@@ -45,7 +45,26 @@ def match_descriptors(
     similarity = desc_a @ desc_b.T (one MXU GEMM); distance^2 = 2 - 2 sim.
     Ratio test (Lowe) on distances, mutual-nearest cross check, and an
     optional precomputed (Ka, Kb) boolean gate fused into the score matrix.
+
+    On TPU the whole selection chain runs as one fused Pallas kernel
+    (kernels/match.py) that never spills the similarity matrix to HBM;
+    the XLA path below is the CPU fallback and the kernel's test oracle.
     """
+    from laneslam import kernels
+
+    if kernels.use_pallas():
+        from laneslam.kernels.match import match_topk_pallas
+
+        mask = valid_a[:, None] & valid_b[None, :]
+        if gate is not None:
+            mask = mask & gate
+        idx, ok, sim_best = match_topk_pallas(
+            desc_a, desc_b, mask,
+            ratio=float(ratio), min_similarity=float(min_similarity),
+            cross_check=cross_check, interpret=kernels.interpret(),
+        )
+        return Matches(idx=idx, valid=ok, similarity=sim_best)
+
     sim = jnp.einsum(
         "ad,bd->ab", desc_a, desc_b, preferred_element_type=jnp.float32
     )

@@ -1,0 +1,57 @@
+"""Schur reduce kernel vs XLA reference + closed-form inverse correctness."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from laneslam.kernels.schur import (
+    inv_sym_batched,
+    schur_reduce_pallas,
+    schur_reduce_xla,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _blocks(key, N, d, W6=48):
+    k1, k2, k3 = jax.random.split(key, 3)
+    J = jax.random.normal(k1, (N, 8, d))
+    Hd = jnp.einsum("nia,nib->nab", J, J) + 1e-2 * jnp.eye(d)
+    g = jax.random.normal(k2, (N, d))
+    B = jax.random.normal(k3, (N, W6, d))
+    return Hd, g, B
+
+
+@pytest.mark.parametrize("d", [3, 4])
+@pytest.mark.parametrize("N", [5, 64])
+def test_inv_sym_closed_form(d, N):
+    Hd, _, _ = _blocks(jax.random.PRNGKey(d * 10 + N), N, d)
+    Hinv = inv_sym_batched(Hd)
+    eye = jnp.einsum("nab,nbc->nac", Hd, Hinv)
+    assert jnp.allclose(eye, jnp.eye(d), atol=1e-4)
+    # Matches the general LU inverse.
+    assert jnp.allclose(Hinv, jnp.linalg.inv(Hd), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("d", [3, 4])
+@pytest.mark.parametrize("N", [7, 64, 300])
+def test_schur_reduce_pallas_equals_xla(d, N):
+    Hd, g, B = _blocks(jax.random.PRNGKey(d + N), N, d)
+    Hinv_r, S_r, g_r = schur_reduce_xla(Hd, g, B)
+    Hinv_p, S_p, g_p = schur_reduce_pallas(Hd, g, B, interpret=INTERPRET, tile_n=128)
+    assert jnp.allclose(Hinv_r, Hinv_p, atol=1e-5, rtol=1e-5)
+    assert jnp.allclose(S_r, S_p, atol=1e-3, rtol=1e-4)
+    assert jnp.allclose(g_r, g_p, atol=1e-3, rtol=1e-4)
+
+
+def test_schur_reduce_zero_blocks_no_nan():
+    """Empty (all-zero) landmark blocks must contribute nothing, not NaN."""
+    d, N, W6 = 3, 16, 24
+    Hd = jnp.broadcast_to(1e-4 * jnp.eye(d), (N, d, d))  # damped empty blocks
+    g = jnp.zeros((N, d))
+    B = jnp.zeros((N, W6, d))
+    for fn in (schur_reduce_xla,
+               lambda *a: schur_reduce_pallas(*a, interpret=INTERPRET, tile_n=128)):
+        Hinv, S, gr = fn(Hd, g, B)
+        assert jnp.isfinite(Hinv).all()
+        assert jnp.allclose(S, 0.0) and jnp.allclose(gr, 0.0)
