@@ -150,7 +150,7 @@ def main() -> int:
     ba_prob = ops.gather_window(merged, ids, slot_valid)
     sp = shard_problem(ba_prob, n_dev)
     t0 = time.perf_counter()
-    sp, cost = ba_gn_step_sharded(
+    sp, cost, _accept = ba_gn_step_sharded(
         sp, jnp.asarray(1e-4, jnp.float32), _cam_tuple(cfg, sessions), mesh_b,
         BaConfig(gn_iters=1), num_fixed_poses=2,
     )

@@ -184,7 +184,34 @@ def ba_gn_step_sharded(
 
         new_pts, new_lns = jax.vmap(back)(points, lines, ptb, lnb)
         T_new = se3.retract(T_cw, delta_c)
-        return new_pts, new_lns, T_new, cost
+
+        # LM accept/reject — identical semantics to the single-device
+        # ba_solve step: relinearize the candidate, psum its robust cost,
+        # and keep the old state where the step overshot. This is what
+        # keeps the sharded solve monotone (and bit-equal to ba_solve).
+        def cand_cost(pts_b, lns_b, ptw_b, ptp_b, ptuv_b, ptval_b,
+                      lnw_b, lnl_b, lnseg_b, lnval_b, ptfree_b, lnfree_b):
+            prob = BAProblem(
+                T_cw=T_new, points=pts_b, lines=lns_b,
+                pt_w=ptw_b, pt_p=ptp_b, pt_uv=ptuv_b, pt_valid=ptval_b,
+                ln_w=lnw_b, ln_l=lnl_b, ln_seg=lnseg_b, ln_valid=lnval_b,
+                pt_free=ptfree_b, ln_free=lnfree_b,
+            )
+            lin_p, lin_l = _linearize(prob, cam, cfg.huber_px)
+            return _robust_cost(lin_p, lin_l)
+
+        cost_new = jax.lax.psum(
+            jnp.sum(jax.vmap(cand_cost)(
+                new_pts, new_lns, pt_w, pt_p, pt_uv, pt_valid,
+                ln_w, ln_l, ln_seg, ln_valid, pt_free, ln_free,
+            )),
+            "block",
+        )
+        accept = cost_new < cost
+        new_pts = jnp.where(accept, new_pts, points)
+        new_lns = jnp.where(accept, new_lns, lines)
+        T_new = jnp.where(accept, T_new, T_cw)
+        return new_pts, new_lns, T_new, cost, accept
 
     blk = P("block")
     rep = P()
@@ -192,14 +219,14 @@ def ba_gn_step_sharded(
         inner,
         mesh=mesh,
         in_specs=(blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, blk, rep),
-        out_specs=(blk, blk, rep, rep),
+        out_specs=(blk, blk, rep, rep, rep),
     )
-    new_pts, new_lns, T_new, cost = fn(
+    new_pts, new_lns, T_new, cost, accept = fn(
         sp.points, sp.lines, sp.pt_w, sp.pt_p, sp.pt_uv, sp.pt_valid,
         sp.ln_w, sp.ln_l, sp.ln_seg, sp.ln_valid, sp.pt_free, sp.ln_free,
         sp.T_cw,
     )
-    return sp._replace(T_cw=T_new, points=new_pts, lines=new_lns), cost
+    return sp._replace(T_cw=T_new, points=new_pts, lines=new_lns), cost, accept
 
 
 def ba_solve_sharded(
@@ -217,22 +244,16 @@ def ba_solve_sharded(
     sp = shard_problem(problem, n_blocks)
     lam = jnp.asarray(cfg.damping, sp.T_cw.dtype)
     costs = []
-    prev_cost = None
     for _ in range(cfg.gn_iters):
-        cand, cost = ba_gn_step_sharded(
+        # Accept/reject happens INSIDE the jit step (rejected steps leave
+        # the sharded state untouched); the host only steers damping — the
+        # same LM control as the single-device ba_solve scan body.
+        sp, cost, accept = ba_gn_step_sharded(
             sp, lam, cam, mesh, cfg, num_fixed_poses
         )
-        # LM control on host: `cost` is the (replicated) robust cost at the
-        # current linearization point — if it rose versus the last accepted
-        # step, the previous update overshot: revert is impossible here, so
-        # raise damping and keep stepping (bounded oscillation; the window
-        # solver's trip count is small and fixed).
-        if prev_cost is not None and float(cost) > float(prev_cost):
-            lam = lam * 8.0
-        else:
-            lam = jnp.maximum(lam * 0.3, jnp.asarray(1e-9, lam.dtype))
-        prev_cost = cost
-        sp = cand
+        lam = jnp.clip(
+            jnp.where(accept, lam * 0.3, lam * 8.0), 1e-9, 1e6
+        )
         costs.append(cost)
     T_cw, pts, lns = unshard(sp)
     out = problem._replace(T_cw=T_cw, points=pts, lines=lns)
