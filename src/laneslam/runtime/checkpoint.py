@@ -56,6 +56,9 @@ def load_map_state(path: str):
 def save_system_state(path: str, system) -> None:
     """Checkpoint a running SlamSystem (map + edges + frontend state)."""
     extra = {
+        # RNG state: without it a restarted run draws different RANSAC
+        # hypotheses than the uninterrupted one (§5.3 restart-equivalence).
+        "key": np.asarray(jax.random.key_data(system.key)),
         "T_cur": np.asarray(system.T_cur),
         "last_rel": np.asarray(system._last_rel),
         "bootstrapped": np.asarray(system.bootstrapped),
@@ -95,6 +98,8 @@ def load_system_state(path: str, system) -> None:
     system.map = m
     if edges is not None:
         system.edges = edges
+    if "key" in extra:
+        system.key = jnp.asarray(extra["key"], jnp.uint32)
     system.T_cur = jnp.asarray(extra["T_cur"])
     system._last_rel = jnp.asarray(extra["last_rel"])
     system.bootstrapped = bool(extra["bootstrapped"])
