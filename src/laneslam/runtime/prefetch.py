@@ -36,10 +36,21 @@ class Prefetcher:
         self._thread.start()
 
     def _worker(self, frames):
+        from laneslam.runtime.host_preproc import to_f32
+
         try:
             for item in frames:
                 if self._transform is not None:
                     item = self._transform(item)
+                # Native u8 -> f32 convert (runtime/_preproc.cpp) before the
+                # DMA, so the device receives compute-ready frames and the
+                # convert never runs on-chip.
+                item = jax.tree_util.tree_map(
+                    lambda x: to_f32(x)
+                    if isinstance(x, np.ndarray) and x.dtype == np.uint8
+                    else x,
+                    item,
+                )
                 # Async upload: device_put returns immediately; the transfer
                 # overlaps with the consumer's compute.
                 item = jax.tree_util.tree_map(
