@@ -87,7 +87,6 @@ def describe_lines(
     gx, gy = _image_gradients(img)
     grads = jnp.stack([gx, gy])  # (2, H, W)
 
-    K = segs.capacity
     m, w, S = cfg.num_bands, cfg.band_width, cfg.num_samples
     M = m * w
 
@@ -135,20 +134,9 @@ def describe_lines(
     Wb = jnp.where(in_window, w_local, 0.0)  # (m, M)
     Wb = Wb / jnp.maximum(jnp.sum(Wb, axis=1, keepdims=True), 1e-12)
 
-    mean = jnp.einsum("bM,kMf->kbf", Wb, rowvec)  # (K, m, 4)
-    ex2 = jnp.einsum("bM,kMf->kbf", Wb, rowvec**2)
-    var = jnp.maximum(ex2 - mean**2, 0.0)
-    std = jnp.sqrt(var)
+    # Band reduction (two weighted contractions + variance + normalize +
+    # clip + renormalize + mask) — fused Pallas kernel on TPU, XLA
+    # reference elsewhere (kernels/lbd.py; dispatch via LANESLAM_KERNELS).
+    from laneslam.kernels.lbd import lbd_reduce
 
-    mean_flat = mean.reshape(K, -1)
-    std_flat = std.reshape(K, -1)
-
-    def _norm(x):
-        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
-
-    desc = jnp.concatenate([_norm(mean_flat), _norm(std_flat)], axis=-1)
-    # SIFT-style clipping to tame gradient spikes, then renormalize halves.
-    desc = jnp.clip(desc, -0.4, 0.4)
-    h = desc.shape[-1] // 2
-    desc = jnp.concatenate([_norm(desc[:, :h]), _norm(desc[:, h:])], axis=-1)
-    return jnp.where(segs.valid[:, None], desc, 0.0)
+    return lbd_reduce(rowvec, Wb, segs.valid, clip=0.4)
