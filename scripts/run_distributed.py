@@ -51,9 +51,15 @@ def main() -> int:
     if args.backend == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if args.coordinator:
-        from laneslam.dist.mesh import init_distributed
+        from laneslam.dist.init import init_distributed
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
+    else:
+        # Env-driven bring-up (LANESLAM_COORDINATOR / _NUM_PROCESSES /
+        # _PROCESS_ID); no-op in single-process mode.
+        from laneslam.dist.init import ensure_initialized
+
+        ensure_initialized()
 
     import jax.numpy as jnp
     import numpy as np

@@ -8,4 +8,6 @@ The same programs run on 1 device, a fake 8-device CPU mesh, and a multi-host
 pod slice; only mesh construction differs.
 """
 
+from laneslam.dist import collectives
+from laneslam.dist.init import ensure_initialized, init_distributed, process_info
 from laneslam.dist.mesh import make_mesh, local_mesh

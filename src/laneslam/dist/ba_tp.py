@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from laneslam.backend.ba import BAProblem, _assemble, _linearize, _robust_cost
+from laneslam.dist import collectives as coll
 from laneslam.config import BaConfig
 from laneslam.geometry import se3
 from laneslam.geometry.camera import Camera
@@ -154,9 +155,9 @@ def ba_gn_step_sharded(
             ln_w, ln_l, ln_seg, ln_valid, pt_free, ln_free,
         )
         # Local partial sums, then ONE psum over the block axis (ICI).
-        cost = jax.lax.psum(jnp.sum(cost_bs), "block")
-        S_full = jax.lax.psum(jnp.sum(S_bs, axis=0), "block")
-        g_red = jax.lax.psum(jnp.sum(g_bs, axis=0), "block")
+        cost = coll.psum(jnp.sum(cost_bs), "block")
+        S_full = coll.psum(jnp.sum(S_bs, axis=0), "block")
+        g_red = coll.psum(jnp.sum(g_bs, axis=0), "block")
 
         S_full = S_full + jnp.einsum("wv,ab->wvab", eyeW, lam * jnp.eye(6, dtype=dtype))
         free = (jnp.arange(W) >= num_fixed_poses).astype(dtype)
@@ -200,7 +201,7 @@ def ba_gn_step_sharded(
             lin_p, lin_l = _linearize(prob, cam, cfg.huber_px)
             return _robust_cost(lin_p, lin_l)
 
-        cost_new = jax.lax.psum(
+        cost_new = coll.psum(
             jnp.sum(jax.vmap(cand_cost)(
                 new_pts, new_lns, pt_w, pt_p, pt_uv, pt_valid,
                 ln_w, ln_l, ln_seg, ln_valid, pt_free, ln_free,

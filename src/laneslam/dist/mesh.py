@@ -37,13 +37,7 @@ def local_mesh() -> Mesh:
 def init_distributed(
     coordinator: str, num_processes: int, process_id: int
 ) -> None:
-    """Multi-host bring-up: every host calls this, then builds the same mesh.
+    """Back-compat alias — multi-host bring-up lives in dist/init.py."""
+    from laneslam.dist.init import init_distributed as _init
 
-    On a real pod slice this is `jax.distributed.initialize`; the rest of the
-    code is identical 1-host vs N-host (SPMD — SNIPPETS.md:126-128).
-    """
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    _init(coordinator, num_processes, process_id)

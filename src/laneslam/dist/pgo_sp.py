@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from laneslam.backend.pgo import PgoProblem, _edge_linearize, _huber_w
+from laneslam.dist import collectives as coll
 from laneslam.config import PgoConfig
 from laneslam.geometry import se3
 
@@ -51,13 +52,13 @@ def pgo_solve_sharded(
 
     def inner(T_wc_loc, nv_loc, ei_loc, ej_loc, eT_loc, ew_loc, free_loc):
         """Shard body: local nodes (N/n, ...), local edges (E/n, ...)."""
-        my = jax.lax.axis_index("frame")
+        my = coll.axis_index("frame")
         n_local = T_wc_loc.shape[0]
         base = my * n_local
 
         # Full pose array via all_gather (the DCN/ICI crossing).
-        T_all = jax.lax.all_gather(T_wc_loc, "frame").reshape(N, 4, 4)
-        nv_all = jax.lax.all_gather(nv_loc, "frame").reshape(N)
+        T_all = coll.all_gather(T_wc_loc, "frame").reshape(N, 4, 4)
+        nv_all = coll.all_gather(nv_loc, "frame").reshape(N)
 
         prob_rep = PgoProblem(
             T_wc=T_all, node_valid=nv_all,
@@ -69,9 +70,9 @@ def pgo_solve_sharded(
         r = jnp.where(live[..., 0], jnp.nan_to_num(r), 0.0)
         Ji = jnp.where(live, jnp.nan_to_num(Ji), 0.0)
         Jj = jnp.where(live, jnp.nan_to_num(Jj), 0.0)
-        cost = jax.lax.psum(0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1)), "frame")
+        cost = coll.psum(0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1)), "frame")
 
-        free_all = jax.lax.all_gather(free_loc, "frame").reshape(N, 1)
+        free_all = coll.all_gather(free_loc, "frame").reshape(N, 1)
 
         def scatter_global(vi, vj):
             out = (
@@ -79,7 +80,7 @@ def pgo_solve_sharded(
                 .at[ei_loc].add(vi)
                 .at[ej_loc].add(vj)
             )
-            return jax.lax.psum(out, "frame")
+            return coll.psum(out, "frame")
 
         g = scatter_global(
             jnp.einsum("eab,ea->eb", Ji * w[:, None, None], r),

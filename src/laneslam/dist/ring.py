@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from laneslam.dist import collectives as coll
+
 
 def ring_topk_query(
     db: jnp.ndarray,  # (K, C) keyframe descriptor DB (global layout)
@@ -41,7 +43,7 @@ def ring_topk_query(
     kb = K // n
 
     def inner(db_loc, valid_loc, q_loc):
-        my = jax.lax.axis_index("frame")
+        my = coll.axis_index("frame")
         qn = q_loc.shape[0]
         best_sim = jnp.full((qn, top_k), -jnp.inf, db.dtype)
         best_idx = jnp.full((qn, top_k), -1, jnp.int32)
@@ -57,14 +59,10 @@ def ring_topk_query(
             sim = jnp.where(valid_s[None, :], sim, -jnp.inf)
             ids = base + jax.lax.broadcasted_iota(jnp.int32, (qn, kb), 1)
             # Merge running top-k with this shard's candidates.
-            all_sim = jnp.concatenate([bsim, sim], axis=1)
-            all_idx = jnp.concatenate([bidx, ids], axis=1)
-            top_sim, sel = jax.lax.top_k(all_sim, top_k)
-            top_idx = jnp.take_along_axis(all_idx, sel, axis=1)
+            top_sim, top_idx = coll.topk_merge(bsim, bidx, sim, ids, top_k)
             # Rotate the DB shard to the right neighbor (the ring hop).
-            perm = [(i, (i + 1) % n) for i in range(n)]
-            db_next = jax.lax.ppermute(db_s, "frame", perm)
-            valid_next = jax.lax.ppermute(valid_s, "frame", perm)
+            db_next = coll.ppermute_shift(db_s, "frame")
+            valid_next = coll.ppermute_shift(valid_s, "frame")
             return (db_next, valid_next, top_sim, top_idx), None
 
         (_, _, bsim, bidx), _ = jax.lax.scan(
@@ -99,7 +97,7 @@ def reshard_frame_to_block(x: jnp.ndarray, mesh: Mesh):
         # Split the second axis into n chunks and exchange: after all_to_all
         # each device holds (D, X/n, ...).
         split = x_loc.reshape((x_loc.shape[0], n, X // n) + x_loc.shape[2:])
-        out = jax.lax.all_to_all(split, "frame", split_axis=1, concat_axis=0)
+        out = coll.all_to_all(split, "frame", split_axis=1, concat_axis=0)
         return out.reshape((D, X // n) + x_loc.shape[2:])
 
     fn = jax.jit(
