@@ -26,10 +26,14 @@ def main() -> int:
     from laneslam.backend.ba import ba_solve
     from laneslam.config import BaConfig
 
+    from functools import partial
+
     key = jax.random.PRNGKey(0)
     for W, Np, Nl in ((8, 512, 128), (8, 2048, 512), (8, 8192, 2048)):
-        prob, _ = make_problem(key, W=W, Np=Np, Nl=Nl)
-        pert = perturb(prob, jax.random.PRNGKey(1))
+        # Jit the generators: run op-by-op they pay one XLA compile per
+        # primitive over the device tunnel (~60 s per problem).
+        prob, _ = jax.jit(partial(make_problem, W=W, Np=Np, Nl=Nl))(key)
+        pert = jax.jit(perturb)(prob, jax.random.PRNGKey(1))
         iters = 10
         cfg = BaConfig(gn_iters=iters, damping=1e-4)
         out, info = ba_solve(pert, CAM, cfg)

@@ -21,7 +21,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from laneslam.features.match import match_descriptors
-    from laneslam.kernels.match import match_topk_pallas
+    from laneslam.kernels.match import match_fits_vmem, match_topk_pallas
 
     ITERS = 200
     key = jax.random.PRNGKey(0)
@@ -49,18 +49,26 @@ def main() -> int:
             g().block_until_ready()
             return (time.perf_counter() - t0) / ITERS
 
-        t_pal = bench(lambda x, y: match_topk_pallas(x, y, mask, ratio=0.9))
+        # The fused kernel is single-program VMEM-resident; above the VMEM
+        # budget the production dispatcher takes the XLA path (see
+        # kernels/match.py: match_fits_vmem), so benchmark what ships.
+        fits = match_fits_vmem(a.shape, b.shape)
+        t_pal = (
+            bench(lambda x, y: match_topk_pallas(x, y, mask, ratio=0.9))
+            if fits else None
+        )
         t_xla = bench(
             lambda x, y: match_descriptors(x, y, va, vb, gate=gate, ratio=0.9)
         )
         flops = 2 * Ka * Kb * D
+        best = t_pal if (t_pal is not None and t_pal < t_xla) else t_xla
         print(
             json.dumps(
                 {
                     "Ka": Ka, "Kb": Kb, "D": D,
-                    "pallas_us": round(t_pal * 1e6, 1),
+                    "pallas_us": None if t_pal is None else round(t_pal * 1e6, 1),
                     "xla_us": round(t_xla * 1e6, 1),
-                    "pallas_gemm_tflops": round(flops / t_pal / 1e12, 2),
+                    "best_gemm_tflops": round(flops / best / 1e12, 2),
                 }
             )
         )

@@ -91,6 +91,16 @@ class MapConfig:
     max_lines: int = 4096
     max_obs_per_kf: int = 512
     max_line_obs_per_kf: int = 128
+    # Landmark culling (C14 "cull"; slots return to the arena for reuse):
+    # drop landmarks observed by < cull_min_obs keyframes once their anchor
+    # is >= cull_min_age_kf keyframes old; run every cull_interval keyframes
+    # (0 disables culling).
+    cull_min_obs: int = 2
+    cull_min_age_kf: int = 3
+    cull_interval: int = 4
+    # Under-observed culling only activates above this live/capacity
+    # fraction; below it only orphans (zero observation refs) are culled.
+    cull_pressure: float = 0.8
 
 
 @dataclass(frozen=True)

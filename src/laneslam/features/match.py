@@ -51,8 +51,11 @@ def match_descriptors(
     the XLA path below is the CPU fallback and the kernel's test oracle.
     """
     from laneslam import kernels
+    from laneslam.kernels.match import match_fits_vmem
 
-    if kernels.use_pallas():
+    if kernels.use_pallas() and match_fits_vmem(
+        desc_a.shape, desc_b.shape
+    ):
         from laneslam.kernels.match import match_topk_pallas
 
         mask = valid_a[:, None] & valid_b[None, :]

@@ -25,6 +25,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def match_fits_vmem(a_shape, b_shape, budget_bytes: int = 12 * 2**20) -> bool:
+    """True iff the single-program kernel's working set fits scoped VMEM.
+
+    The kernel materializes the (Ka, Kb) similarity matrix plus the gate
+    mask and several same-shape intermediates in VMEM (measured: the
+    compiler's scoped allocation is ~2x sim+mask at Ka=Kb=2048, which
+    blows the 16 MiB limit). Above the budget the caller must use the
+    XLA path — at those sizes the GEMM is HBM-streaming anyway and XLA's
+    tiled emission is at parity (benchmarks/bench_match.py).
+    """
+    Ka, D = a_shape
+    Kb = b_shape[0]
+    matrix = Ka * Kb * 4
+    inputs = (Ka + Kb) * D * 4
+    return 2.5 * matrix + inputs < budget_bytes
+
+
 def _match_kernel(ratio, min_similarity, cross_check, a_ref, b_ref, mask_ref,
                   idx_ref, sim_ref, ok_ref):
     neg = jnp.float32(-1e9)

@@ -100,13 +100,13 @@ def concatenate_maps(maps: List[MapState]) -> Tuple[MapState, np.ndarray, np.nda
         k0 += k
         p0 += p
         l0 += l
-    # Counts become allocator high-water marks: sessions occupy
-    # capacity-aligned slot ranges (with dead gaps); future inserts append
-    # after them. Live entries are defined by the valid masks.
+    # Keyframes stay bump-allocated so kf_count is the high-water mark;
+    # landmark counts are live counts (the arena allocator reuses the dead
+    # gaps between sessions' capacity-aligned ranges on future inserts).
     out = out._replace(
         kf_count=jnp.asarray(k0, jnp.int32),
-        pt_count=jnp.asarray(p0, jnp.int32),
-        ln_count=jnp.asarray(l0, jnp.int32),
+        pt_count=jnp.sum(out.pt_valid.astype(jnp.int32)),
+        ln_count=jnp.sum(out.ln_valid.astype(jnp.int32)),
     )
     return out, kf_off, lm_off
 

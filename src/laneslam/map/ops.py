@@ -1,10 +1,14 @@
 """Map operations: all jit-compatible, static-shape, mask-correct.
 
-Bump allocation with overflow counters (SURVEY.md §7.3.2 — overflow is
-surfaced in telemetry, never silent), scatter-based keyframe insertion,
-covisibility maintenance, and BA window gather/scatter against the global
-landmark arrays (landmark slot == global id: the Schur reduction runs over
-the full fixed-capacity block arrays, unobserved blocks contribute zero).
+Landmark slots come from the L0 arena allocator (runtime/arena.py): free
+slot == invalid slot, culled slots are reused, and overflow counters are
+surfaced in telemetry, never silent (SURVEY.md §7.3.2). Keyframes stay
+bump-allocated (they are never culled; ids double as temporal order).
+Plus scatter-based keyframe insertion, covisibility maintenance, landmark
+culling (C14 "add/cull/merge"), and BA window gather/scatter against the
+global landmark arrays (landmark slot == global id: the Schur reduction
+runs over the full fixed-capacity block arrays, unobserved blocks
+contribute zero).
 """
 
 from __future__ import annotations
@@ -18,16 +22,7 @@ import jax.numpy as jnp
 from laneslam.backend.ba import BAProblem
 from laneslam.map.map import MapState
 from laneslam.geometry import se3
-
-
-def _bump_alloc(count, capacity, valid):
-    """Slots for new items: (ids (N,), new_count, num_dropped)."""
-    offs = jnp.cumsum(valid.astype(jnp.int32)) - 1
-    ids = jnp.where(valid, count + offs, -1)
-    dropped = jnp.sum((ids >= capacity) & valid)
-    ids = jnp.where(ids < capacity, ids, -1)
-    new_count = jnp.minimum(count + jnp.sum(valid), capacity)
-    return ids, new_count, dropped
+from laneslam.runtime import arena
 
 
 def add_points(
@@ -36,14 +31,14 @@ def add_points(
 ) -> Tuple[MapState, jnp.ndarray]:
     """Insert new point landmarks; returns (map, assigned ids (N,) or -1)."""
     P = m.pt_xyz.shape[0]
-    ids, new_count, dropped = _bump_alloc(m.pt_count, P, valid)
+    ids, new_valid, dropped = arena.alloc(m.pt_valid, valid)
     w = jnp.where(ids >= 0, ids, P + 1)  # out-of-bounds -> dropped writes
     m = m._replace(
         pt_xyz=m.pt_xyz.at[w].set(xyz, mode="drop"),
         pt_desc=m.pt_desc.at[w].set(desc, mode="drop"),
-        pt_valid=m.pt_valid.at[w].set(True, mode="drop"),
+        pt_valid=new_valid,
         pt_anchor_kf=m.pt_anchor_kf.at[w].set(anchor_kf, mode="drop"),
-        pt_count=new_count,
+        pt_count=arena.live_count(new_valid),
         pt_overflow=m.pt_overflow + dropped,
     )
     return m, ids
@@ -54,17 +49,79 @@ def add_lines(
     anchor_kf: jnp.ndarray,
 ) -> Tuple[MapState, jnp.ndarray]:
     L = m.ln_plucker.shape[0]
-    ids, new_count, dropped = _bump_alloc(m.ln_count, L, valid)
+    ids, new_valid, dropped = arena.alloc(m.ln_valid, valid)
     w = jnp.where(ids >= 0, ids, L + 1)
     m = m._replace(
         ln_plucker=m.ln_plucker.at[w].set(plucker, mode="drop"),
         ln_desc=m.ln_desc.at[w].set(desc, mode="drop"),
-        ln_valid=m.ln_valid.at[w].set(True, mode="drop"),
+        ln_valid=new_valid,
         ln_anchor_kf=m.ln_anchor_kf.at[w].set(anchor_kf, mode="drop"),
-        ln_count=new_count,
+        ln_count=arena.live_count(new_valid),
         ln_overflow=m.ln_overflow + dropped,
     )
     return m, ids
+
+
+def cull_landmarks(
+    m: MapState, min_obs: int = 2, min_age_kf: int = 3,
+    pressure: float = 0.8,
+) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
+    """Free unsupported stale landmarks (C14 cull; arena slots reused).
+
+    Two tiers, both gated on the anchor keyframe being at least
+    `min_age_kf` keyframes old (young landmarks get time to accumulate
+    observations):
+
+      * orphans — zero live observation references (their rows were
+        overwritten or their keyframes invalidated) — always culled;
+      * under-observed (< `min_obs` observing keyframes) — culled only
+        under capacity pressure (live count > pressure * capacity).
+        Once-observed landmarks are legitimate map content in a
+        forward-moving camera and loop-closure verification matches
+        against them, so they are only sacrificed when keeping them
+        would start dropping NEW landmarks instead (overflow).
+
+    Observation rows referencing culled slots are cleared so a reused
+    slot can never alias an old observation.
+
+    Returns (map, n_culled_points, n_culled_lines).
+    """
+    P = m.pt_xyz.shape[0]
+    L = m.ln_plucker.shape[0]
+    kf_live = m.kf_valid[:, None]  # (K, 1)
+
+    def obs_count(obs_idx, cap):
+        w = jnp.where((obs_idx >= 0) & kf_live, obs_idx, cap + 1)
+        return jnp.zeros((cap,), jnp.int32).at[w.reshape(-1)].add(
+            1, mode="drop"
+        )
+
+    def cull_mask(valid, anchor, obs_idx, cap, count):
+        old = anchor <= m.kf_count - min_age_kf
+        n_obs = obs_count(obs_idx, cap)
+        under_pressure = count > jnp.int32(pressure * cap)
+        weak = jnp.where(under_pressure, n_obs < min_obs, n_obs < 1)
+        return valid & old & weak
+
+    cull_pt = cull_mask(m.pt_valid, m.pt_anchor_kf, m.obs_pt_idx, P, m.pt_count)
+    cull_ln = cull_mask(m.ln_valid, m.ln_anchor_kf, m.obs_ln_idx, L, m.ln_count)
+
+    new_pt_valid = arena.free_mask(m.pt_valid, cull_pt)
+    new_ln_valid = arena.free_mask(m.ln_valid, cull_ln)
+    # Drop dangling references from every keyframe's observation rows.
+    obs_pt = jnp.where(cull_pt[jnp.maximum(m.obs_pt_idx, 0)], -1, m.obs_pt_idx)
+    obs_ln = jnp.where(cull_ln[jnp.maximum(m.obs_ln_idx, 0)], -1, m.obs_ln_idx)
+    m = m._replace(
+        pt_valid=new_pt_valid,
+        ln_valid=new_ln_valid,
+        pt_anchor_kf=jnp.where(cull_pt, -1, m.pt_anchor_kf),
+        ln_anchor_kf=jnp.where(cull_ln, -1, m.ln_anchor_kf),
+        obs_pt_idx=obs_pt,
+        obs_ln_idx=obs_ln,
+        pt_count=arena.live_count(new_pt_valid),
+        ln_count=arena.live_count(new_ln_valid),
+    )
+    return m, jnp.sum(cull_pt.astype(jnp.int32)), jnp.sum(cull_ln.astype(jnp.int32))
 
 
 def insert_keyframe(

@@ -160,7 +160,15 @@ def _make_keyframe(
     m, new_ids = ops.add_points(
         m, X_new, kf_feats.point_desc, is_new, jnp.full(X_new.shape[0], m.kf_count, jnp.int32)
     )
-    #
+    # Backfill the previous keyframe's observation row: it is the other ray
+    # of the triangulation, and without it a new landmark enters window BA
+    # with a single observation (unconstrained along its ray). X_new / is_new
+    # are kf-prev slot-aligned, so the row update is a plain where.
+    m = m._replace(
+        obs_pt_idx=m.obs_pt_idx.at[kf_prev].set(
+            jnp.where(is_new & (new_ids >= 0), new_ids, lm_of_slot)
+        )
+    )
 
     # cur-slot landmark table: tracked ones + newly created ones.
     Kc = cur.points.uv.shape[0]
@@ -176,6 +184,11 @@ def _make_keyframe(
     is_new_l = lmm.valid & (ln_of_slot < 0) & okL
     m, new_lids = ops.add_lines(
         m, L_new, kf_feats.line_desc, is_new_l, jnp.full(L_new.shape[0], m.kf_count, jnp.int32)
+    )
+    m = m._replace(
+        obs_ln_idx=m.obs_ln_idx.at[kf_prev].set(
+            jnp.where(is_new_l & (new_lids >= 0), new_lids, ln_of_slot)
+        )
     )
     Kl = cur.segments.xyxy.shape[0]
     slot_ln = jnp.full((Kl,), -1, jnp.int32)
@@ -287,6 +300,13 @@ def _make_keyframe_stereo(
     )
     T_rel = se3.inverse(m.kf_T_wc[kf_prev]) @ T_wc_cur
     return m, kf_id, T_rel, jnp.sum(new_ids >= 0), jnp.sum(new_lids >= 0)
+
+
+@partial(jax.jit, static_argnames=("min_obs", "min_age_kf", "pressure"))
+def _cull(m: MapState, min_obs: int, min_age_kf: int, pressure: float):
+    return ops.cull_landmarks(
+        m, min_obs=min_obs, min_age_kf=min_age_kf, pressure=pressure
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed"))
@@ -556,6 +576,15 @@ class SlamSystem:
             self.frames_since_kf = 0
             stat["new_points"] = int(n_new_p)
             stat["new_lines"] = int(n_new_l)
+
+            ci = cfg.map.cull_interval
+            if ci > 0 and int(kf_id) % ci == ci - 1:
+                self.map, n_cp, n_cl = _cull(
+                    self.map, cfg.map.cull_min_obs, cfg.map.cull_min_age_kf,
+                    cfg.map.cull_pressure,
+                )
+                stat["culled_points"] = int(n_cp)
+                stat["culled_lines"] = int(n_cl)
 
             if self.enable_ba:
                 self.map, ba_cost = _window_ba(self.map, cfg, cam)
