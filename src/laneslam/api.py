@@ -72,9 +72,13 @@ def run_slam(
     """Configs 2/3 (BASELINE.json:8-9): keyframe SLAM with sliding-window
     point+line BA, device-resident covisibility/KF-DB, loop closure + PGO."""
     from laneslam.eval.ate import ate_rmse
+    from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
     frames, cam, gt, n = _load_dataset(cfg)
+    # P3: decode/convert frame t+1 on the host thread + async-upload while
+    # frame t computes (BASELINE.json:5 double-buffered host I/O).
+    frames = Prefetcher(frames, depth=2)
     sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba)
 
     t_start = time.perf_counter()
@@ -170,9 +174,11 @@ def run_stereo(
     """Config 4 (BASELINE.json:10): stereo point+line SLAM, metric scale,
     joint point+line window BA exercising the mixed 3/4-dof Schur reduction."""
     from laneslam.eval.ate import ate_rmse
+    from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
     pairs, cam, gt, n = _load_stereo_dataset(cfg)
+    pairs = Prefetcher(pairs, depth=2)  # P3 double-buffered host I/O
     sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba, stereo=True)
 
     t_start = time.perf_counter()
@@ -221,8 +227,10 @@ def run_odometry(
     """
     from laneslam.eval.ate import ate_rmse
     from laneslam.frontend.odometry import TwoViewOdometry
+    from laneslam.runtime.prefetch import Prefetcher
 
     frames, cam, gt, n = _load_dataset(cfg)
+    frames = Prefetcher(frames, depth=2)  # P3 double-buffered host I/O
     vo = TwoViewOdometry(cfg, cam)
     use_gt_scale = (scale_mode == "gt") or (scale_mode == "auto" and gt is not None)
 

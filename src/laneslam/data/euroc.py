@@ -118,9 +118,10 @@ class EurocStereo:
         )
 
     def read_pair(self, i: int) -> Tuple[np.ndarray, Optional[np.ndarray]]:
-        import cv2
+        # Native C++ PNG decode (runtime/_imageio.cpp) with cv2 fallback.
+        from laneslam.runtime.imageio import imread_gray
 
-        left = cv2.imread(os.path.join(self.cam0_dir, "data", self.names0[i]), cv2.IMREAD_GRAYSCALE)
+        left = imread_gray(os.path.join(self.cam0_dir, "data", self.names0[i]))
         rp = os.path.join(self.cam1_dir, "data", self.names1[min(i, len(self.names1) - 1)])
-        right = cv2.imread(rp, cv2.IMREAD_GRAYSCALE) if os.path.exists(rp) else None
+        right = imread_gray(rp) if os.path.exists(rp) else None
         return left, right

@@ -23,12 +23,10 @@ from laneslam.geometry.camera import Camera
 
 
 def _imread_gray(path: str) -> np.ndarray:
-    import cv2
+    # Native C++ PNG decode (runtime/_imageio.cpp) with cv2 fallback.
+    from laneslam.runtime.imageio import imread_gray
 
-    img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
-    if img is None:
-        raise FileNotFoundError(path)
-    return img
+    return imread_gray(path)
 
 
 @dataclass
