@@ -24,6 +24,11 @@ def main() -> int:
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--no-ba", action="store_true")
     ap.add_argument("--out", default="")
+    ap.add_argument("--checkpoint", default="", help="checkpoint file path (SURVEY.md §5.4)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write the checkpoint every N frames")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore from --checkpoint and continue mid-sequence")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -43,7 +48,11 @@ def main() -> int:
         )
     )
     print(f"[run_slam] backend={jax.default_backend()} dataset={args.dataset}")
-    result = run_slam(cfg, enable_loop=not args.no_loop, enable_ba=not args.no_ba)
+    result = run_slam(
+        cfg, enable_loop=not args.no_loop, enable_ba=not args.no_ba,
+        checkpoint_path=args.checkpoint or None,
+        checkpoint_every=args.checkpoint_every, resume=args.resume,
+    )
     if args.out:
         from laneslam.eval.writers import write_kitti_trajectory
 

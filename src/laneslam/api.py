@@ -68,10 +68,22 @@ def run_slam(
     enable_loop: bool = True,
     enable_ba: bool = True,
     verbose: bool = True,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> RunResult:
     """Configs 2/3 (BASELINE.json:8-9): keyframe SLAM with sliding-window
-    point+line BA, device-resident covisibility/KF-DB, loop closure + PGO."""
+    point+line BA, device-resident covisibility/KF-DB, loop closure + PGO.
+
+    checkpoint_every > 0 writes the full system pytree to `checkpoint_path`
+    every that many frames (SURVEY.md §5.4); `resume` restores it and
+    continues mid-sequence (frames already in the restored trajectory are
+    skipped).
+    """
+    import os
+
     from laneslam.eval.ate import ate_rmse
+    from laneslam.runtime.checkpoint import load_system_state, save_system_state
     from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
@@ -81,12 +93,23 @@ def run_slam(
     frames = Prefetcher(frames, depth=2)
     sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba)
 
+    start = 0
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        load_system_state(checkpoint_path, sys_)
+        start = len(sys_.poses)
+        if verbose:
+            print(f"[slam] resumed from {checkpoint_path} at frame {start}")
+
     t_start = time.perf_counter()
     t_first = None
     for i, img in enumerate(frames):
+        if i < start:
+            continue
         sys_.process_frame(img)
         if t_first is None:
             t_first = time.perf_counter()
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+            save_system_state(checkpoint_path, sys_)
         if verbose and i % 50 == 0 and i > 0:
             s = sys_.stats[-1] if sys_.stats else {}
             print(f"[slam] frame {i}/{n} {s}")
