@@ -25,7 +25,7 @@ def main() -> int:
     from laneslam.config import SlamConfig
     from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
     from laneslam.frontend.extract import extract_features
-    from laneslam.frontend.odometry import _pair_step
+    from laneslam.frontend.odometry import _frame_step
     from laneslam.geometry.camera import Camera
 
     cfg = SlamConfig()
@@ -42,21 +42,23 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
 
     # Warm up / compile.
-    feats = [extract_features(im, cfg) for im in imgs[:2]]
-    R, t, diag = _pair_step(feats[0], feats[1], key, cfg, cam)
+    feats0 = extract_features(imgs[0], cfg)
+    feats1, R, t, diag, key = _frame_step(imgs[1], feats0, key, cfg, cam)
     jax.block_until_ready((R, t))
 
     def run_loop(iters: int) -> float:
-        """Per-frame work of config 1: extraction + pair step vs previous."""
-        prev = feats[1]
-        total = jnp.asarray(0, jnp.int32)  # forces every iteration's chain
+        """Per-frame work of config 1 as the production single-dispatch
+        fused step (extract + match + RANSAC + key advance)."""
+        nonlocal key
+        prev = feats1
         t0 = time.perf_counter()
         for i in range(iters):
-            cur = extract_features(imgs[2 + (i % 6)], cfg)
-            R, t, diag = _pair_step(prev, cur, key, cfg, cam)
-            total = total + diag.num_inliers
-            prev = cur
-        jax.block_until_ready(total)
+            # One dispatch per frame. prev/key thread through every step, so
+            # blocking on the last step's outputs forces the whole chain.
+            prev, R, t, diag, key = _frame_step(
+                imgs[2 + (i % 6)], prev, key, cfg, cam
+            )
+        jax.block_until_ready((R, t, diag.num_inliers))
         return iters / (time.perf_counter() - t0)
 
     # First pass pays one-time executable finalization / device warmup
