@@ -25,7 +25,7 @@ def main() -> int:
     from laneslam.config import SlamConfig
     from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
     from laneslam.frontend.extract import extract_features
-    from laneslam.frontend.odometry import _frame_step
+    from laneslam.frontend.odometry import _scan_frames
     from laneslam.geometry.camera import Camera
 
     cfg = SlamConfig()
@@ -41,23 +41,25 @@ def main() -> int:
     imgs = [jax.device_put(im) for im in imgs]
     key = jax.random.PRNGKey(0)
 
+    chunk = max(1, cfg.frontend.chunk_frames)
+    img_chunk = jnp.stack([imgs[i % 8] for i in range(chunk)])
+
     # Warm up / compile.
     feats0 = extract_features(imgs[0], cfg)
-    feats1, R, t, diag, key = _frame_step(imgs[1], feats0, key, cfg, cam)
-    jax.block_until_ready((R, t))
+    prev0, key, _ = _scan_frames(feats0, img_chunk, key, cfg, cam)
+    jax.block_until_ready(prev0.point_desc)
 
     def run_loop(iters: int) -> float:
-        """Per-frame work of config 1 as the production single-dispatch
-        fused step (extract + match + RANSAC + key advance)."""
+        """Per-frame work of config 1 through the production chunked-scan
+        path (frontend.odometry._scan_frames): extract + match + RANSAC +
+        key advance for chunk_frames frames per device dispatch."""
         nonlocal key
-        prev = feats1
+        prev = prev0
         t0 = time.perf_counter()
-        for i in range(iters):
-            # One dispatch per frame. prev/key thread through every step, so
-            # blocking on the last step's outputs forces the whole chain.
-            prev, R, t, diag, key = _frame_step(
-                imgs[2 + (i % 6)], prev, key, cfg, cam
-            )
+        for _ in range(0, iters, chunk):
+            # prev/key thread through every chunk, so blocking on the last
+            # chunk's outputs forces the whole chain.
+            prev, key, (R, t, diag) = _scan_frames(prev, img_chunk, key, cfg, cam)
         jax.block_until_ready((R, t, diag.num_inliers))
         return iters / (time.perf_counter() - t0)
 
@@ -65,8 +67,8 @@ def main() -> int:
     # (~8 ms/frame measured on the tunneled v5e chip, vs ~0.2 ms/frame
     # steady state); discard it and report steady-state throughput —
     # the number that matters for a 1000+ frame sequence.
-    run_loop(50)
-    fps = max(run_loop(200) for _ in range(3))
+    run_loop(48)
+    fps = max(run_loop(400) for _ in range(3))
 
     print(
         json.dumps(

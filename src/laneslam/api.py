@@ -253,25 +253,49 @@ def run_odometry(
     from laneslam.runtime.prefetch import Prefetcher
 
     frames, cam, gt, n = _load_dataset(cfg)
-    frames = Prefetcher(frames, depth=2)  # P3 double-buffered host I/O
+    # P3 double-buffered host I/O; upload=False because the chunked scan
+    # path stacks each chunk and uploads it as one block.
+    frames = Prefetcher(frames, depth=2, upload=False)
     vo = TwoViewOdometry(cfg, cam)
     use_gt_scale = (scale_mode == "gt") or (scale_mode == "auto" and gt is not None)
+    chunk = max(1, cfg.frontend.chunk_frames)
 
     t_start = time.perf_counter()
     t_first = None
+    n_warm = 0
+    buf: list = []
+    sbuf: list = []
+    fed = 0
+
+    def flush():
+        nonlocal fed
+        if buf:
+            vo.process_chunk(np.stack(buf), list(sbuf))
+            fed += len(buf)
+            buf.clear()
+            sbuf.clear()
+
     for i, img in enumerate(frames):
         gt_scale = None
         if use_gt_scale and gt is not None and 0 < i < len(gt):
             gt_scale = float(
                 np.linalg.norm(gt[i][:3, 3] - gt[i - 1][:3, 3])
             )
-        vo.process(img, gt_scale=gt_scale)
-        if t_first is None:
-            t_first = time.perf_counter()  # exclude compile of first frame
+        buf.append(np.asarray(img))
+        sbuf.append(gt_scale)
+        # First flush feeds chunk+1 frames (frame 0 bootstraps the
+        # reference features), later flushes feed exactly one chunk.
+        if len(buf) >= (chunk + 1 if fed == 0 else chunk):
+            flush()
+            if t_first is None:
+                # Exclude the compile of the first chunk from throughput.
+                t_first = time.perf_counter()
+                n_warm = fed
         if verbose and i % 50 == 0 and i > 0:
             print(f"[odometry] frame {i}/{n}")
+    flush()
     elapsed = time.perf_counter() - (t_first or t_start)
-    fps = (n - 1) / max(elapsed, 1e-9)
+    fps = max(n - max(n_warm, 1), 1) / max(elapsed, 1e-9)
 
     poses = vo.trajectory()
     ate = None

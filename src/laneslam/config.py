@@ -114,6 +114,11 @@ class FrontendConfig:
     track_inlier_px: float = 4.0  # PnP gate during tracking (noisier landmarks)
     min_track_inliers: int = 8  # below this the frame falls back to motion model
     min_parallax_deg: float = 1.0  # triangulation baseline gate
+    # Frames per device dispatch in the VO scan path: one lax.scan program
+    # processes this many frames per launch, amortizing host dispatch (the
+    # tunneled chip pays ~90 us per dispatch vs ~12 us device compute per
+    # frame). 1 = legacy per-frame dispatch.
+    chunk_frames: int = 8
 
 
 @dataclass(frozen=True)

@@ -25,10 +25,15 @@ class Prefetcher:
         depth: int = 2,
         transform: Optional[Callable] = None,
         device=None,
+        upload: bool = True,
     ):
+        """upload=False skips the device_put and yields host f32 arrays —
+        used by the chunked VO path, which stacks a whole chunk and uploads
+        it as one block instead of per-frame."""
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._transform = transform
-        self._device = device or jax.devices()[0]
+        self._upload = upload
+        self._device = device or (jax.devices()[0] if upload else None)
         self._done = object()
         self._thread = threading.Thread(
             target=self._worker, args=(frames,), daemon=True
@@ -53,12 +58,13 @@ class Prefetcher:
                 )
                 # Async upload: device_put returns immediately; the transfer
                 # overlaps with the consumer's compute.
-                item = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(np.asarray(x), self._device)
-                    if isinstance(x, np.ndarray)
-                    else x,
-                    item,
-                )
+                if self._upload:
+                    item = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(np.asarray(x), self._device)
+                        if isinstance(x, np.ndarray)
+                        else x,
+                        item,
+                    )
                 self._q.put(item)
         finally:
             self._q.put(self._done)
