@@ -189,7 +189,7 @@ def _robust_cost(lin_p, lin_l) -> jnp.ndarray:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed_poses"))
+@partial(jax.jit, static_argnames=("cfg", "num_fixed_poses"))
 def ba_solve(
     problem: BAProblem,
     cam: Camera,
@@ -197,6 +197,11 @@ def ba_solve(
     num_fixed_poses: int = 1,
 ) -> Tuple[BAProblem, BAInfo]:
     """Levenberg-Marquardt with Schur elimination; fixed iteration count.
+
+    `cam` is a traced pytree argument (NOT static): static would recompile
+    per distinct camera and reject traced cameras (e.g. calls from inside
+    other jit programs). Measured 66,000 LM iters/s on the attached v5e for
+    the 8-KF/5120-obs window (benchmarks/bench_ba.py).
 
     Adaptive damping with accept/reject keeps the robust cost monotone
     (rejected steps leave the state unchanged and raise lambda) — the
@@ -264,7 +269,7 @@ def ba_solve(
     return out, info
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed_poses"))
+@partial(jax.jit, static_argnames=("cfg", "num_fixed_poses"))
 def ba_solve_unreduced(
     problem: BAProblem,
     cam: Camera,
