@@ -27,8 +27,9 @@ class RunResult:
     diagnostics: dict = field(default_factory=dict)
 
 
-def _load_dataset(cfg: SlamConfig):
-    """Returns (frame_iter, cam, gt_poses, num_frames); frame_iter yields np arrays."""
+def _load_dataset(cfg: SlamConfig, skip: int = 0):
+    """Returns (frame_iter, cam, gt_poses, num_frames); frame_iter yields np
+    arrays starting at frame `skip` (resume avoids re-decoding the prefix)."""
     d = cfg.data
     if d.dataset == "kitti":
         from laneslam.data.kitti import KittiOdometry
@@ -36,14 +37,14 @@ def _load_dataset(cfg: SlamConfig):
         ds = KittiOdometry(d.root, d.sequence)
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses[:n] if ds.gt_poses is not None else None
-        return (ds.read_frame(i) for i in range(n)), ds.camera, gt, n
+        return (ds.read_frame(i) for i in range(skip, n)), ds.camera, gt, n
     if d.dataset == "euroc":
         from laneslam.data.euroc import EurocStereo
 
         ds = EurocStereo(d.root)
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses_at(ds.stamps0[:n])
-        return (ds.read_pair(i)[0] for i in range(n)), ds.camera, gt, n
+        return (ds.read_pair(i)[0] for i in range(skip, n)), ds.camera, gt, n
     if d.dataset in ("synthetic", "synthetic_loop"):
         from laneslam.data.synthetic import (
             make_corridor_scene,
@@ -55,7 +56,7 @@ def _load_dataset(cfg: SlamConfig):
         maker = make_loop_scene if d.dataset == "synthetic_loop" else make_corridor_scene
         scene = maker(seed=0, num_frames=n)
         return (
-            (render_scene_frame(scene, i) for i in range(n)),
+            (render_scene_frame(scene, i) for i in range(skip, n)),
             scene.cam,
             scene.poses_wc,
             n,
@@ -88,33 +89,48 @@ def run_slam(
     from laneslam.system import SlamSystem
 
     frames, cam, gt, n = _load_dataset(cfg)
-    # P3: decode/convert frame t+1 on the host thread + async-upload while
-    # frame t computes (BASELINE.json:5 double-buffered host I/O).
-    frames = Prefetcher(frames, depth=2)
     sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba)
 
     start = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
         load_system_state(checkpoint_path, sys_)
         start = len(sys_.poses)
+        if start > 0:
+            # Rebuild the feed from `start`: resume must not pay a decode
+            # for every already-processed frame (the discarded generator
+            # above is lazy — nothing was decoded yet).
+            frames = _load_dataset(cfg, skip=start)[0]
         if verbose:
             print(f"[slam] resumed from {checkpoint_path} at frame {start}")
+    # P3: decode/convert frame t+1 on the host thread + async-upload while
+    # frame t computes (BASELINE.json:5 double-buffered host I/O).
+    frames = Prefetcher(frames, depth=2)
 
     t_start = time.perf_counter()
     t_first = None
-    for i, img in enumerate(frames):
-        if i < start:
-            continue
+    n_done = 0
+    for i, img in enumerate(frames, start=start):
         sys_.process_frame(img)
+        n_done += 1
         if t_first is None:
             t_first = time.perf_counter()
         if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
             save_system_state(checkpoint_path, sys_)
         if verbose and i % 50 == 0 and i > 0:
-            s = sys_.stats[-1] if sys_.stats else {}
-            print(f"[slam] frame {i}/{n} {s}")
+            # §5.5: one bulk drain of the device metrics ring instead of
+            # per-frame scalar reads.
+            mtr = sys_.drain_metrics()
+            inl = mtr.get("inliers")
+            msg = (
+                f"inliers_mean={np.nanmean(inl[-50:]):.1f} "
+                f"fallbacks={int(np.nansum(mtr['fallback'][-50:]))}"
+                if inl is not None and len(inl) else ""
+            )
+            print(f"[slam] frame {i}/{n} {msg} {sys_.stats[-1] if sys_.stats else {}}")
     elapsed = time.perf_counter() - (t_first or t_start)
-    fps = (n - 1) / max(elapsed, 1e-9)
+    # fps over frames processed THIS run (resume skips `start` frames), and
+    # excluding the first frame's jit compile (t_first starts after it).
+    fps = max(n_done - 1, 1) / max(elapsed, 1e-9)
 
     poses = sys_.trajectory()
     ate = None
@@ -136,6 +152,7 @@ def run_slam(
         frames_per_sec=fps,
         diagnostics={
             "per_frame": sys_.stats,
+            "metrics": sys_.drain_metrics(),
             "num_keyframes": int(sys_.map.kf_count),
             "num_points": int(sys_.map.pt_count),
             "num_lines": int(sys_.map.ln_count),
@@ -146,7 +163,9 @@ def run_slam(
 
 
 def _load_stereo_dataset(cfg: SlamConfig):
-    """Returns (pair_iter, cam, gt_poses, n); pair_iter yields (left, right)."""
+    """Returns (pair_iter, cam, gt_poses, n, rectify);
+    pair_iter yields (left, right); rectify is the per-camera
+    RectifyParams pair for distorted unrectified datasets (EuRoC)."""
     d = cfg.data
     if d.dataset == "euroc":
         from laneslam.data.euroc import EurocStereo
@@ -154,7 +173,7 @@ def _load_stereo_dataset(cfg: SlamConfig):
         ds = EurocStereo(d.root)
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses_at(ds.stamps0[:n])
-        return (ds.read_pair(i) for i in range(n)), ds.camera, gt, n
+        return (ds.read_pair(i) for i in range(n)), ds.camera, gt, n, ds.rect
     if d.dataset == "kitti":
         from laneslam.data.kitti import KittiOdometry
 
@@ -163,7 +182,7 @@ def _load_stereo_dataset(cfg: SlamConfig):
         gt = ds.gt_poses[:n] if ds.gt_poses is not None else None
         return (
             (ds.read_frame(i), ds.read_frame_right(i)) for i in range(n)
-        ), ds.camera, gt, n
+        ), ds.camera, gt, n, None
     if d.dataset in ("synthetic", "synthetic_loop"):
         from laneslam.data.synthetic import (
             make_corridor_scene,
@@ -184,6 +203,7 @@ def _load_stereo_dataset(cfg: SlamConfig):
             cam,
             scene.poses_wc,
             n,
+            None,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
@@ -200,9 +220,10 @@ def run_stereo(
     from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
-    pairs, cam, gt, n = _load_stereo_dataset(cfg)
+    pairs, cam, gt, n, rect = _load_stereo_dataset(cfg)
     pairs = Prefetcher(pairs, depth=2)  # P3 double-buffered host I/O
-    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba, stereo=True)
+    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba,
+                      stereo=True, rectify=rect)
 
     t_start = time.perf_counter()
     t_first = None
@@ -233,6 +254,7 @@ def run_stereo(
         poses=poses, gt_poses=gt, ate_rmse=ate, frames_per_sec=fps,
         diagnostics={
             "per_frame": sys_.stats,
+            "metrics": sys_.drain_metrics(),
             "num_keyframes": int(sys_.map.kf_count),
             "num_points": int(sys_.map.pt_count),
             "num_lines": int(sys_.map.ln_count),

@@ -126,12 +126,23 @@ class LoopConfig:
     """Loop closure (SURVEY.md C11-C13)."""
 
     top_k: int = 5
-    vocab_size: int = 128  # random visual-word codebook size (C11)
+    vocab_size: int = 1024  # random visual-word codebook size (C11)
     min_kf_gap: int = 3  # plus covisibility exclusion (see kfdb.query_kfdb)
     covis_exclusion: int = 30  # exclude candidates sharing >= this many landmarks
-    min_similarity: float = 0.6
-    min_inliers: int = 15
-    ransac_hypotheses: int = 128
+    # IDF-weighted cosine threshold: the retrieval stage only ranks coarsely
+    # (geometric verification discriminates); the threshold's job is skipping
+    # verification in the obvious no-loop case. IDF sims live in ~[0, 0.3].
+    use_idf: bool = True
+    min_similarity: float = 0.08
+    # Accept bound on guided-rematch pixel-refined support. True loops on the
+    # synthetic fixture give 46-78; the one observed false positive (planar
+    # wall-slide consensus) scraped 12 — 20 splits the margin.
+    min_inliers: int = 20
+    ransac_hypotheses: int = 256
+    # Monocular loops carry scale drift: verification fits Sim(3) and the
+    # accepted scale must stay inside these bounds (stereo fits SE(3)).
+    min_scale: float = 0.5
+    max_scale: float = 2.0
 
 
 @dataclass(frozen=True)

@@ -71,8 +71,28 @@ class EurocStereo:
         # Left->right extrinsics: T_c1_c0 = inv(T_BS1) @ T_BS0.
         T0 = self.sensor0.get("T_BS", np.eye(4))
         T1 = self.sensor1.get("T_BS", np.eye(4))
+        self.T_BS0 = T0
         self.T_c1_c0 = np.linalg.inv(T1) @ T0
         self.baseline = float(np.linalg.norm(self.T_c1_c0[:3, 3]))
+        # Rectification of FEATURE coordinates (geometry/undistort.py):
+        # EuRoC frames are distorted and unrectified; the stereo frontend's
+        # row gate needs the rectified pinhole model. Images stay raw.
+        self.rect = None
+        if "distortion" in self.sensor0 and "intrinsics" in self.sensor0:
+            from laneslam.geometry.undistort import stereo_rectify
+
+            def K_of(sensor):
+                fu, fv, cu, cv = sensor["intrinsics"][:4]
+                return np.array([[fu, 0, cu], [0, fv, cv], [0, 0, 1.0]])
+
+            res = self.sensor0.get("resolution", np.array([752, 480]))
+            d0 = np.asarray(self.sensor0["distortion"], float)[:4]
+            d1 = np.asarray(self.sensor1.get("distortion", d0), float)[:4]
+            p0, p1, self.baseline = stereo_rectify(
+                K_of(self.sensor0), d0, K_of(self.sensor1), d1,
+                self.T_c1_c0, int(res[0]), int(res[1]),
+            )
+            self.rect = (p0, p1)
 
     @staticmethod
     def _read_gt(path: str):
@@ -83,7 +103,11 @@ class EurocStereo:
         return {"stamps": stamps, "positions": pos.astype(np.float32), "quaternions_wxyz": quat.astype(np.float32)}
 
     def gt_poses_at(self, stamps: np.ndarray) -> Optional[np.ndarray]:
-        """Nearest-neighbor GT pose (4,4) per requested camera timestamp."""
+        """Nearest-neighbor GT CAMERA pose (4,4) per camera timestamp.
+
+        GT rows are body poses T_WB; the returned pose is the cam0 pose
+        T_WC = T_WB @ T_BS0 (without this the ATE is biased by the
+        body->camera lever arm; VERDICT r2 missing #3)."""
         if self.gt is None:
             return None
         gts = self.gt["stamps"]
@@ -103,15 +127,23 @@ class EurocStereo:
         T = np.tile(np.eye(4, dtype=np.float32), (len(stamps), 1, 1))
         T[:, :3, :3] = R
         T[:, :3, 3] = pos
-        return T
+        return (T @ self.T_BS0[None].astype(np.float32))
 
     def __len__(self) -> int:
         return len(self.names0)
 
     @property
     def camera(self) -> Camera:
-        intr = self.sensor0["intrinsics"]  # fu, fv, cu, cv
         res = self.sensor0.get("resolution", np.array([752, 480]))
+        if self.rect is not None:
+            # Rectified pinhole model (all feature coords are mapped into it).
+            K_new = np.asarray(self.rect[0].K_new)
+            return Camera(
+                fx=float(K_new[0, 0]), fy=float(K_new[1, 1]),
+                cx=float(K_new[0, 2]), cy=float(K_new[1, 2]),
+                width=int(res[0]), height=int(res[1]), baseline=self.baseline,
+            )
+        intr = self.sensor0["intrinsics"]  # fu, fv, cu, cv
         return Camera(
             fx=float(intr[0]), fy=float(intr[1]), cx=float(intr[2]), cy=float(intr[3]),
             width=int(res[0]), height=int(res[1]), baseline=self.baseline,

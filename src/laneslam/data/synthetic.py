@@ -197,27 +197,17 @@ def scene_observations(
     return uv.astype(np.float32), vis, seg, vis_l
 
 
-def render_scene_frame(
-    scene: SyntheticScene, frame: int, baseline: float = 0.0
+def _draw_frame(
+    H: int, W: int, uv: np.ndarray, vis_p: np.ndarray,
+    seg: np.ndarray, vis_l: np.ndarray, noise_rng: np.random.Generator,
 ) -> np.ndarray:
-    """Render a grayscale uint8 image: world-anchored segments AND points.
+    """Rasterize point blobs + segments onto a noisy background.
 
-    Crucial fixture property: everything with repeatable image structure is
-    anchored in the 3D world. The per-pixel noise is re-drawn per frame
-    (different seed each frame) so it cannot form stable fake corners — a
-    fixed noise pattern would be a static image-space overlay that matches
-    across frames and votes for the identity pose, poisoning VO/SLAM tests.
+    World points draw as bright 5x5 blobs with deterministic per-landmark
+    brightness/asymmetry (fixed seed 4242, keyed by landmark index) so BRIEF
+    descriptors can tell them apart.
     """
-    cam = scene.cam
-    H, W = cam.height, cam.width
-    rng = np.random.default_rng(977351 + frame * 7 + (13 if baseline != 0.0 else 0))
-    img = (rng.normal(110, 3, (H, W))).astype(np.float32)
-
-    uv, vis_p, seg, vis = scene_observations(scene, frame, baseline=baseline)
-
-    # World points as bright 5x5 blobs. Each point gets a deterministic
-    # per-landmark brightness/asymmetry so BRIEF descriptors can tell them
-    # apart (identical blobs are ambiguous under the ratio test).
+    img = (noise_rng.normal(110, 3, (H, W))).astype(np.float32)
     pt_rng = np.random.default_rng(4242)  # landmark appearance, world-fixed
     peak = pt_rng.uniform(170.0, 250.0, size=len(uv))
     tilt = pt_rng.uniform(-0.5, 0.5, size=(len(uv), 2))
@@ -234,7 +224,7 @@ def render_scene_frame(
                     val = peak[k] - fall + asym
                     img[yy, xx] = max(img[yy, xx], val)
 
-    for (x1, y1, x2, y2), ok in zip(seg, vis):
+    for (x1, y1, x2, y2), ok in zip(seg, vis_l):
         if not ok:
             continue
         n = int(max(abs(x2 - x1), abs(y2 - y1)) * 2) + 2
@@ -247,3 +237,62 @@ def render_scene_frame(
                 val = 230.0 if (dx == 0 and dy == 0) else 190.0
                 img[yi, xi] = np.maximum(img[yi, xi], val)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def render_scene_frame(
+    scene: SyntheticScene, frame: int, baseline: float = 0.0
+) -> np.ndarray:
+    """Render a grayscale uint8 image: world-anchored segments AND points.
+
+    Crucial fixture property: everything with repeatable image structure is
+    anchored in the 3D world. The per-pixel noise is re-drawn per frame
+    (different seed each frame) so it cannot form stable fake corners — a
+    fixed noise pattern would be a static image-space overlay that matches
+    across frames and votes for the identity pose, poisoning VO/SLAM tests.
+    """
+    cam = scene.cam
+    rng = np.random.default_rng(977351 + frame * 7 + (13 if baseline != 0.0 else 0))
+    uv, vis_p, seg, vis = scene_observations(scene, frame, baseline=baseline)
+    return _draw_frame(cam.height, cam.width, uv, vis_p, seg, vis, rng)
+
+
+def render_distorted_frame(
+    scene: SyntheticScene,
+    T_wc: np.ndarray,
+    K: np.ndarray,
+    dist: np.ndarray,
+    noise_seed: int,
+    width: int,
+    height: int,
+) -> np.ndarray:
+    """Render through an arbitrary camera pose with radial-tangential
+    distortion — the distorted UNRECTIFIED fixture for the EuRoC path
+    (tests/fixtures/mini_euroc.py): features land at their true distorted
+    pixels, so only geometry.undistort's coordinate rectification can make
+    the stereo/SLAM pipeline work on it."""
+    T_cw = np.linalg.inv(T_wc)
+
+    def proj(X):
+        Xc = X @ T_cw[:3, :3].T + T_cw[:3, 3]
+        z = Xc[:, 2]
+        zs = np.where(np.abs(z) < 1e-9, 1e-9, z)
+        xy = Xc[:, :2] / zs[:, None]
+        k1, k2, p1, p2 = dist[:4]
+        x, y = xy[:, 0], xy[:, 1]
+        r2 = x * x + y * y
+        radial = 1.0 + k1 * r2 + k2 * r2 * r2
+        xd = x * radial + 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        yd = y * radial + p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        u = K[0, 0] * xd + K[0, 2]
+        v = K[1, 1] * yd + K[1, 2]
+        return np.stack([u, v], axis=-1), z
+
+    uv, z = proj(scene.points)
+    vis = (z > 0.3) & (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    uv1, z1 = proj(scene.segments[:, 0])
+    uv2, z2 = proj(scene.segments[:, 1])
+    in_img = lambda p: (p[:, 0] >= 0) & (p[:, 0] < width) & (p[:, 1] >= 0) & (p[:, 1] < height)
+    vis_l = (z1 > 0.3) & (z2 > 0.3) & in_img(uv1) & in_img(uv2)
+    seg = np.concatenate([uv1, uv2], axis=-1).astype(np.float32)
+    rng = np.random.default_rng(noise_seed)
+    return _draw_frame(height, width, uv, vis, seg, vis_l, rng)

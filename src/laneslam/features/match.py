@@ -39,6 +39,7 @@ def match_descriptors(
     ratio: float = 0.85,
     cross_check: bool = True,
     min_similarity: float = -jnp.inf,
+    allow_pallas: bool = True,
 ) -> Matches:
     """Generic GEMM matcher on unit-norm descriptors.
 
@@ -53,7 +54,10 @@ def match_descriptors(
     from laneslam import kernels
     from laneslam.kernels.match import match_fits_vmem
 
-    if kernels.use_pallas() and match_fits_vmem(
+    # allow_pallas=False routes callers that vmap the matcher (e.g. batched
+    # loop verification) to the XLA path: vmap of the Pallas kernel lowers
+    # to 1-row blocks that violate the TPU (8, 128) tiling contract.
+    if allow_pallas and kernels.use_pallas() and match_fits_vmem(
         desc_a.shape, desc_b.shape
     ):
         from laneslam.kernels.match import match_topk_pallas

@@ -227,6 +227,55 @@ def scatter_window(
     )
 
 
+def apply_scale_correction(
+    m: MapState, kf_cand: jnp.ndarray, kf_cur: jnp.ndarray, s: jnp.ndarray
+) -> MapState:
+    """Mono loop closure: renormalize accumulated scale drift (SURVEY §7.3.5).
+
+    The Sim(3) verification says cur-side geometry must scale by `s` to land
+    on the (older, trusted) cand-side. The drift accumulated along the chain
+    (cand, cur], so the correction is distributed geometrically: per-step
+    factor f = s^(1/(cur-cand)); keyframe k gets cumulative factor
+    g_k = f^clip(k-cand, 0, cur-cand). Translation deltas along the keyframe
+    chain are scaled by g, landmarks are rescaled about their anchor
+    keyframe (points: X' = T_new (g_a * T_old^-1 X); Plücker lines: the
+    moment n scales, the direction v does not).
+    """
+    from laneslam.geometry.lines import plucker_transform
+
+    K = m.kf_T_wc.shape[0]
+    n = jnp.maximum(kf_cur - kf_cand, 1).astype(jnp.float32)
+    f = s ** (1.0 / n)
+    k = jnp.arange(K)
+    g = f ** jnp.clip(k - kf_cand, 0, kf_cur - kf_cand).astype(jnp.float32)  # (K,)
+
+    t = m.kf_T_wc[:, :3, 3]
+    d = jnp.diff(t, axis=0, prepend=t[:1])  # d[0] = 0, d[k] = t[k]-t[k-1]
+    t_new = t[0][None] + jnp.cumsum(d * g[:, None], axis=0)
+    T_new = m.kf_T_wc.at[:, :3, 3].set(t_new)
+
+    g_pt = g[jnp.maximum(m.pt_anchor_kf, 0)]
+    T_old_a = m.kf_T_wc[jnp.maximum(m.pt_anchor_kf, 0)]
+    T_new_a = T_new[jnp.maximum(m.pt_anchor_kf, 0)]
+    X_local = se3.transform_points(se3.inverse(T_old_a), m.pt_xyz)
+    pt = se3.transform_points(T_new_a, g_pt[:, None] * X_local)
+    keep = (m.pt_anchor_kf >= 0) & m.pt_valid
+    pt = jnp.where(keep[:, None], pt, m.pt_xyz)
+
+    g_ln = g[jnp.maximum(m.ln_anchor_kf, 0)]
+    Tl_old = m.kf_T_wc[jnp.maximum(m.ln_anchor_kf, 0)]
+    Tl_new = T_new[jnp.maximum(m.ln_anchor_kf, 0)]
+    L_local = plucker_transform(se3.inverse(Tl_old), m.ln_plucker)
+    L_scaled = jnp.concatenate(
+        [L_local[:, :3] * g_ln[:, None], L_local[:, 3:]], axis=-1
+    )
+    ln = plucker_transform(Tl_new, L_scaled)
+    keep_l = (m.ln_anchor_kf >= 0) & m.ln_valid
+    ln = jnp.where(keep_l[:, None], ln, m.ln_plucker)
+
+    return m._replace(kf_T_wc=T_new, pt_xyz=pt, ln_plucker=ln)
+
+
 def apply_pose_corrections(m: MapState, T_wc_new: jnp.ndarray) -> MapState:
     """After PGO: move each landmark by its anchor keyframe's correction.
 

@@ -37,6 +37,7 @@ enum {
   ERR_UNSUPPORTED = -4, // bit depth / color type / interlace out of scope
   ERR_INFLATE = -5,     // zlib failure
   ERR_SHAPE = -6,       // decoded size != caller-provided h, w
+  ERR_ALLOC = -7,       // allocation failure (caught; never crosses the ABI)
 };
 
 inline uint32_t be32(const uint8_t* p) {
@@ -80,7 +81,10 @@ int parse_header(const uint8_t* buf, size_t n, PngHeader* hdr) {
   if (hdr->color > 6 || kChannels[hdr->color] == 0) return ERR_UNSUPPORTED;
   hdr->channels = kChannels[hdr->color];
   if (hdr->depth != 8 || hdr->interlace != 0) return ERR_UNSUPPORTED;
-  if (hdr->w == 0 || hdr->h == 0 || hdr->w > (1u << 24) || hdr->h > (1u << 24))
+  // Cap accepted dimensions well below anything a dataset frame needs:
+  // a crafted IHDR claiming 2^24 x 2^24 would otherwise drive multi-GB
+  // allocations before any data validation.
+  if (hdr->w == 0 || hdr->h == 0 || hdr->w > (1u << 16) || hdr->h > (1u << 16))
     return ERR_FORMAT;
   return OK;
 }
@@ -215,24 +219,37 @@ int decode_gray(const uint8_t* buf, size_t n, uint8_t* out,
 
 extern "C" {
 
+// C++ exceptions (std::bad_alloc from the buffer vectors) must never cross
+// the extern "C" / ctypes boundary — that std::terminate()s the whole Python
+// process. Every entry point catches and returns ERR_ALLOC instead, letting
+// the Python side fall back to its cv2 path.
+
 // Reads just the IHDR of `path`; writes (h, w). Returns OK or an error code.
 int png_peek(const char* path, int64_t* h, int64_t* w) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return ERR_IO;
-  PngHeader hdr;
-  const int rc = parse_header(buf.data(), buf.size(), &hdr);
-  if (rc != OK) return rc;
-  *h = hdr.h;
-  *w = hdr.w;
-  return OK;
+  try {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, &buf)) return ERR_IO;
+    PngHeader hdr;
+    const int rc = parse_header(buf.data(), buf.size(), &hdr);
+    if (rc != OK) return rc;
+    *h = hdr.h;
+    *w = hdr.w;
+    return OK;
+  } catch (...) {
+    return ERR_ALLOC;
+  }
 }
 
 // Decodes one PNG to grayscale into out (h, w) u8. Returns OK or error.
 int png_decode_gray_file(const char* path, uint8_t* out,
                          int64_t h, int64_t w) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, &buf)) return ERR_IO;
-  return decode_gray(buf.data(), buf.size(), out, h, w);
+  try {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, &buf)) return ERR_IO;
+    return decode_gray(buf.data(), buf.size(), out, h, w);
+  } catch (...) {
+    return ERR_ALLOC;
+  }
 }
 
 // Threaded batch decode: `count` files, all (h, w), into one contiguous
@@ -244,6 +261,7 @@ int png_decode_gray_file(const char* path, uint8_t* out,
 int64_t png_decode_batch(const char* const* paths, int64_t count,
                          uint8_t* out, int64_t h, int64_t w,
                          int64_t nthreads, int32_t* status) {
+  try {
   if (count <= 0) return 0;
   if (nthreads < 1) nthreads = 1;
   if (nthreads > count) nthreads = count;
@@ -254,7 +272,12 @@ int64_t png_decode_batch(const char* const* paths, int64_t count,
       const int64_t i = next.fetch_add(1);
       if (i >= count) return;
       uint8_t* dst = out + i * frame;
-      const int rc = png_decode_gray_file(paths[i], dst, h, w);
+      int rc;
+      try {
+        rc = png_decode_gray_file(paths[i], dst, h, w);
+      } catch (...) {
+        rc = ERR_ALLOC;  // worker threads must not leak exceptions either
+      }
       if (status) status[i] = rc;
       if (rc != OK) {
         std::memset(dst, 0, size_t(frame));
@@ -271,6 +294,9 @@ int64_t png_decode_batch(const char* const* paths, int64_t count,
     for (auto& th : pool) th.join();
   }
   return failures.load();
+  } catch (...) {
+    return count;  // report everything failed; caller falls back per frame
+  }
 }
 
 }  // extern "C"

@@ -66,6 +66,11 @@ class Prefetcher:
                         item,
                     )
                 self._q.put(item)
+        except BaseException as e:  # noqa: BLE001 — forwarded, not swallowed
+            # A decode/IO failure must abort the RUN, not silently truncate
+            # the sequence (a truncated run would still report ATE/fps over
+            # the partial trajectory as if it completed).
+            self._q.put(_PrefetchError(e))
         finally:
             self._q.put(self._done)
 
@@ -74,4 +79,13 @@ class Prefetcher:
             item = self._q.get()
             if item is self._done:
                 return
+            if isinstance(item, _PrefetchError):
+                raise RuntimeError("prefetch worker failed") from item.exc
             yield item
+
+
+class _PrefetchError:
+    """Exception container shuttled through the queue to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc

@@ -51,3 +51,19 @@ def test_prefetcher_with_transform():
     frames = [np.ones((2, 2), np.uint8) * i for i in range(5)]
     out = list(Prefetcher(iter(frames), transform=lambda x: x.astype(np.float32) * 2))
     assert float(jnp.asarray(out[3])[0, 0]) == 6.0
+
+
+def test_prefetcher_propagates_worker_errors():
+    """A decode/IO failure mid-stream must raise at the consumer, not
+    silently truncate the sequence (ADVICE r2: truncated runs previously
+    reported ATE/fps over partial trajectories)."""
+    import pytest
+
+    def frames():
+        yield np.zeros((4, 4), np.uint8)
+        raise IOError("corrupt frame")
+
+    it = iter(Prefetcher(frames(), depth=2, upload=False))
+    next(it)  # first frame flows through
+    with pytest.raises(RuntimeError, match="prefetch worker failed"):
+        next(it)
