@@ -94,7 +94,9 @@ def main() -> int:
 
 
 def _bench_slam(cfg, cam) -> float:
-    """Steady-state frames/s of the full SlamSystem loop (BA + loop on)."""
+    """Steady-state frames/s of the full SLAM loop (BA + loop on), through
+    the chunked on-device path (SlamSystem.process_chunk: track + keyframe
+    + window BA + loop verify + PGO fused into one dispatch per chunk)."""
     import time
 
     import numpy as np
@@ -102,17 +104,27 @@ def _bench_slam(cfg, cam) -> float:
     from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
     from laneslam.system import SlamSystem
 
-    n = 120
+    n = 168
+    chunk = max(cfg.frontend.chunk_frames, 1)
     scene = make_corridor_scene(seed=1, num_frames=n)
     frames = [np.asarray(render_scene_frame(scene, i)) for i in range(n)]
     sys_ = SlamSystem(cfg, cam, enable_loop=True, enable_ba=True)
-    warm = 40  # covers bootstrap + first keyframe/BA/loop/PGO compiles
-    for i in range(warm):
+    i = 0
+    while not sys_.bootstrapped or i < 4:
         sys_.process_frame(frames[i])
+        i += 1
+    i += (i - i % chunk) % chunk  # align
+    warm_end = i + 2 * chunk
+    while i < warm_end:  # compile + warm the fused chunk program
+        sys_.process_chunk(np.stack(frames[i:i + chunk]))
+        i += chunk
     t0 = time.perf_counter()
-    for i in range(warm, n):
-        sys_.process_frame(frames[i])
-    return (n - warm) / (time.perf_counter() - t0)
+    done = 0
+    while i + chunk <= n:
+        sys_.process_chunk(np.stack(frames[i:i + chunk]))
+        i += chunk
+        done += chunk
+    return done / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

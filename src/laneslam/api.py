@@ -72,6 +72,7 @@ def run_slam(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: bool = False,
+    chunked: bool = False,
 ) -> RunResult:
     """Configs 2/3 (BASELINE.json:8-9): keyframe SLAM with sliding-window
     point+line BA, device-resident covisibility/KF-DB, loop closure + PGO.
@@ -80,6 +81,11 @@ def run_slam(
     every that many frames (SURVEY.md §5.4); `resume` restores it and
     continues mid-sequence (frames already in the restored trajectory are
     skipped).
+
+    chunked=True drives post-bootstrap frames through SlamSystem.
+    process_chunk — cfg.frontend.chunk_frames frames per device dispatch
+    with the keyframe/BA/loop path fused on-device (the throughput mode;
+    the default per-frame path is the latency mode).
     """
     import os
 
@@ -103,18 +109,26 @@ def run_slam(
         if verbose:
             print(f"[slam] resumed from {checkpoint_path} at frame {start}")
     # P3: decode/convert frame t+1 on the host thread + async-upload while
-    # frame t computes (BASELINE.json:5 double-buffered host I/O).
-    frames = Prefetcher(frames, depth=2)
+    # frame t computes (BASELINE.json:5 double-buffered host I/O). The
+    # chunked path stacks each chunk host-side and uploads it as one block.
+    frames = Prefetcher(frames, depth=2, upload=not chunked)
 
     t_start = time.perf_counter()
     t_first = None
     n_done = 0
+    buf: list = []
     for i, img in enumerate(frames, start=start):
-        sys_.process_frame(img)
+        if chunked and sys_.bootstrapped:
+            buf.append(np.asarray(img))
+            if len(buf) >= max(cfg.frontend.chunk_frames, 1):
+                sys_.process_chunk(np.stack(buf))
+                buf = []
+        else:
+            sys_.process_frame(img)
         n_done += 1
         if t_first is None:
             t_first = time.perf_counter()
-        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0:
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0 and not buf:
             save_system_state(checkpoint_path, sys_)
         if verbose and i % 50 == 0 and i > 0:
             # §5.5: one bulk drain of the device metrics ring instead of
@@ -127,6 +141,8 @@ def run_slam(
                 if inl is not None and len(inl) else ""
             )
             print(f"[slam] frame {i}/{n} {msg} {sys_.stats[-1] if sys_.stats else {}}")
+    if buf:
+        sys_.process_chunk(np.stack(buf))
     elapsed = time.perf_counter() - (t_first or t_start)
     # fps over frames processed THIS run (resume skips `start` frames), and
     # excluding the first frame's jit compile (t_first starts after it).

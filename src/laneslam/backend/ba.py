@@ -211,12 +211,15 @@ def ba_solve(
 
     def step(carry, _):
         prob, lam = carry
-        lin_p, lin_l = _linearize(prob, cam, cfg.huber_px)
-        cost = _robust_cost(lin_p, lin_l)
-        Hcc, gc, Hpp, gp, Bp, Hll, gl, Bl = _assemble(prob, lin_p, lin_l)
-        delta_c, (delta_p, delta_l) = _schur_solve(
-            Hcc, gc, [(Hpp, gp, Bp), (Hll, gl, Bl)], lam, num_fixed_poses
-        )
+        with jax.named_scope("ba_linearize"):
+            lin_p, lin_l = _linearize(prob, cam, cfg.huber_px)
+            cost = _robust_cost(lin_p, lin_l)
+        with jax.named_scope("ba_assemble"):
+            Hcc, gc, Hpp, gp, Bp, Hll, gl, Bl = _assemble(prob, lin_p, lin_l)
+        with jax.named_scope("ba_schur_solve"):
+            delta_c, (delta_p, delta_l) = _schur_solve(
+                Hcc, gc, [(Hpp, gp, Bp), (Hll, gl, Bl)], lam, num_fixed_poses
+            )
         cand = prob._replace(
             T_cw=se3.retract(prob.T_cw, delta_c),
             points=prob.points + delta_p,

@@ -67,6 +67,9 @@ class BaConfig:
     """Sliding-window point+line bundle adjustment (SURVEY.md C9)."""
 
     window_size: int = 8  # keyframes per window
+    # Window selection: False = last-W keyframes; True = newest + its most
+    # covisible keyframes (SURVEY C12 — revisits pull old keyframes in).
+    covis_window: bool = False
     gn_iters: int = 10
     huber_px: float = 2.0
     damping: float = 1e-4
@@ -119,6 +122,12 @@ class FrontendConfig:
     # tunneled chip pays ~90 us per dispatch vs ~12 us device compute per
     # frame). 1 = legacy per-frame dispatch.
     chunk_frames: int = 8
+    # Track against the local window's landmarks (last-2 keyframes' obs
+    # rows, ~2*Op candidates) instead of every map landmark. 16x less
+    # match/gate work; loses the implicit full-map re-localization that
+    # explicit loop closure provides anyway. The fused chunk path
+    # (configs 2/3 throughput mode) enables this.
+    track_local_landmarks: bool = False
 
 
 @dataclass(frozen=True)

@@ -105,6 +105,101 @@ def unshard(sp: ShardedBAProblem):
     return sp.T_cw, sp.points.reshape(-1, 3), sp.lines.reshape(-1, 6)
 
 
+def shard_problem_a2a(
+    problem: BAProblem, mesh: Mesh
+) -> ShardedBAProblem:
+    """P6 for real (VERDICT r2 #6): frame-major -> landmark-major reshard
+    ON DEVICE via all_to_all inside shard_map.
+
+    `shard_problem` above buckets the GLOBAL observation table with one
+    argsort — fine on a chip, but at pod scale it is a serial global
+    shuffle. Here each shard starts with its frame-major slice of the
+    observation table (the layout the front-end produces under P1), routes
+    each observation to the shard owning its landmark block with ONE
+    all_to_all per table (the Ulysses-style layout flip, SURVEY.md P6), and
+    emits its landmark-major bucket locally. Output shapes and semantics
+    match shard_problem exactly (observation order within a bucket differs;
+    the GN sums are order-invariant — asserted in tests/dist).
+    """
+    n = mesh.shape["block"]
+    Np = problem.points.shape[0]
+    Nl = problem.lines.shape[0]
+    assert Np % n == 0 and Nl % n == 0
+    npb, nlb = Np // n, Nl // n
+    O_p = problem.pt_w.shape[0]
+    O_l = problem.ln_w.shape[0]
+    assert O_p % n == 0 and O_l % n == 0
+
+    def route(idx_lm, valid, per_block, arrays):
+        """Shard-local: (o, ...) frame-major slice -> (n, o, ...) send
+        buffer (row d = my observations owned by shard d, padded), then
+        all_to_all -> (n, o, ...) receive buffer (row s = from shard s)."""
+        o = idx_lm.shape[0]
+        dst = jnp.clip(jnp.maximum(idx_lm, 0) // per_block, 0, n - 1)
+        dst = jnp.where(valid, dst, n - 1)  # park invalid rows anywhere
+        order = jnp.argsort(dst, stable=True)
+        dst_s = dst[order]
+        first = jnp.searchsorted(dst_s, jnp.arange(n))
+        pos = jnp.arange(o) - first[dst_s]
+        out = []
+        for a in arrays:
+            a_s = a[order]
+            buf = jnp.zeros((n, o) + a.shape[1:], a.dtype)
+            buf = buf.at[dst_s, pos].set(a_s)
+            # Router validity mask rides in the valid array itself.
+            out.append(coll.all_to_all(buf, "block", split_axis=0, concat_axis=0))
+        return out
+
+    def inner(ptw, ptp, ptuv, ptval, lnw, lnl, lnseg, lnval):
+        my = coll.axis_index("block")
+        # Only rows that were actually written are valid: scatter writes
+        # above leave padding rows zero => pt_valid False there already
+        # (valid is one of the routed arrays).
+        ptw_r, ptp_r, ptuv_r, ptval_r = route(
+            ptp, ptval, npb, [ptw, ptp, ptuv, ptval]
+        )
+        lnw_r, lnl_r, lnseg_r, lnval_r = route(
+            lnl, lnval, nlb, [lnw, lnl, lnseg, lnval]
+        )
+
+        def flat(x):
+            return x.reshape((1, -1) + x.shape[2:])  # my single block bucket
+
+        base_p = my * npb
+        base_l = my * nlb
+        ptp_loc = jnp.clip(flat(ptp_r) - base_p, 0, npb - 1)
+        lnl_loc = jnp.clip(flat(lnl_r) - base_l, 0, nlb - 1)
+        # An observation is live only if it was valid AND routed here.
+        ptval_f = flat(ptval_r) & (flat(ptp_r) // npb == my)
+        lnval_f = flat(lnval_r) & (flat(lnl_r) // nlb == my)
+        return (
+            flat(ptw_r), ptp_loc, flat(ptuv_r), ptval_f,
+            flat(lnw_r), lnl_loc, flat(lnseg_r), lnval_f,
+        )
+
+    blk = P("block")
+    fn = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(blk, blk, blk, blk, blk, blk, blk, blk),
+        out_specs=(blk,) * 8,
+    )
+    ptw, ptp, ptuv, ptval, lnw, lnl, lnseg, lnval = fn(
+        problem.pt_w, problem.pt_p, problem.pt_uv, problem.pt_valid,
+        problem.ln_w, problem.ln_l, problem.ln_seg, problem.ln_valid,
+    )
+    pt_free = (jnp.ones((Np,), bool) if problem.pt_free is None else problem.pt_free)
+    ln_free = (jnp.ones((Nl,), bool) if problem.ln_free is None else problem.ln_free)
+    return ShardedBAProblem(
+        T_cw=problem.T_cw,
+        points=problem.points.reshape(n, npb, 3),
+        lines=problem.lines.reshape(n, nlb, 6),
+        pt_w=ptw, pt_p=ptp, pt_uv=ptuv, pt_valid=ptval,
+        ln_w=lnw, ln_l=lnl, ln_seg=lnseg, ln_valid=lnval,
+        pt_free=pt_free.reshape(n, npb),
+        ln_free=ln_free.reshape(n, nlb),
+    )
+
+
 @partial(
     jax.jit, static_argnames=("cam", "cfg", "mesh", "num_fixed_poses")
 )

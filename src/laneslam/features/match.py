@@ -72,9 +72,10 @@ def match_descriptors(
         )
         return Matches(idx=idx, valid=ok, similarity=sim_best)
 
-    sim = jnp.einsum(
-        "ad,bd->ab", desc_a, desc_b, preferred_element_type=jnp.float32
-    )
+    with jax.named_scope("match_gemm"):
+        sim = jnp.einsum(
+            "ad,bd->ab", desc_a, desc_b, preferred_element_type=jnp.float32
+        )
     mask = valid_a[:, None] & valid_b[None, :]
     if gate is not None:
         mask = mask & gate

@@ -30,8 +30,14 @@ class FrameFeatures(NamedTuple):
 def extract_features(img: jnp.ndarray, cfg: SlamConfig = SlamConfig()) -> FrameFeatures:
     """Grayscale (H, W) float32 [0..255] -> fixed-capacity features."""
     img = img.astype(jnp.float32)
-    segs = detect_lines(img, cfg.lsd)
-    ldesc = describe_lines(img, segs, cfg.lbd)
-    pts = detect_points(img, cfg.points)
-    pdesc = describe_points(img, pts, cfg.points)
+    # jax.named_scope: phases show up attributed in profiler traces
+    # (scripts/profile.py; SURVEY.md §5.1).
+    with jax.named_scope("lsd_detect"):
+        segs = detect_lines(img, cfg.lsd)
+    with jax.named_scope("lbd_describe"):
+        ldesc = describe_lines(img, segs, cfg.lbd)
+    with jax.named_scope("point_detect"):
+        pts = detect_points(img, cfg.points)
+    with jax.named_scope("point_describe"):
+        pdesc = describe_points(img, pts, cfg.points)
     return FrameFeatures(segments=segs, line_desc=ldesc, points=pts, point_desc=pdesc)

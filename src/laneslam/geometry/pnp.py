@@ -44,19 +44,31 @@ def _dlt_p6p(X_in: jnp.ndarray, uvn: jnp.ndarray) -> jnp.ndarray:
     r1 = jnp.concatenate([Xh, z, -x[..., None] * Xh], axis=-1)  # (H,6,12)
     r2 = jnp.concatenate([z, Xh, -y[..., None] * Xh], axis=-1)
     A = jnp.concatenate([r1, r2], axis=-2)  # (H,12,12)
-    _, _, Vt = jnp.linalg.svd(A)
-    p = Vt[..., 11, :]
+    # Nullvector = eigenvector of A^T A with the smallest eigenvalue.
+    # jnp.linalg.svd on batched 12x12 lowers to a scalar-serial TPU kernel
+    # (measured 8.9 ms for 256 hypotheses — it dominated the whole tracking
+    # step); batched eigh is ~0.05 ms for the same shapes.
+    AtA = jnp.einsum("...ka,...kb->...ab", A, A)
+    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    p = V[..., :, 0]
     P = p.reshape(p.shape[:-1] + (3, 4))
     # Fix sign so points end up in front: use first point's depth.
     depth0 = jnp.einsum("...j,...j->...", P[..., 2, :], Xh[..., 0, :])
     P = P * jnp.where(depth0 < 0, -1.0, 1.0)[..., None, None]
     M = P[..., :3]
-    # Orthonormalize: R = UV^T, scale = mean singular value.
-    U, S, Vt2 = jnp.linalg.svd(M)
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", U, Vt2))
-    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    R = jnp.einsum("...ij,...j,...jk->...ik", U, D, Vt2)
-    scale = jnp.mean(S, axis=-1)
+    # Orthonormalize (polar factor) via eigh of M^T M: M = U Sig V^T =>
+    # M^T M = V Sig^2 V^T, U = M V Sig^-1, R = U V^T (with det fix).
+    MtM = jnp.einsum("...ka,...kb->...ab", M, M)
+    w2, Vm = jnp.linalg.eigh(MtM)
+    sig = jnp.sqrt(jnp.maximum(w2, 1e-20))
+    U = jnp.einsum("...ij,...jk->...ik", M, Vm) / sig[..., None, :]
+    det = jnp.linalg.det(jnp.einsum("...ij,...kj->...ik", U, Vm))
+    # Flip the SMALLEST singular direction (eigh sorts ascending: column 0).
+    Dk = jnp.concatenate(
+        [det[..., None], jnp.ones(det.shape + (2,), det.dtype)], axis=-1
+    )
+    R = jnp.einsum("...ij,...j,...kj->...ik", U, Dk, Vm)
+    scale = jnp.mean(sig, axis=-1)
     t_n = P[..., 3] / jnp.maximum(scale, 1e-12)[..., None]
     # Undo the Hartley normalization: X = s X' + c  =>  t = s t' - R c.
     Rc = jnp.einsum("...ij,...j->...i", R, c[..., 0, :])

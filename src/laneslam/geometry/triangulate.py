@@ -48,9 +48,24 @@ def triangulate_points_dlt(
     a1, a2 = rows(P_a, uv_a)
     b1, b2 = rows(P_b, uv_b)
     A = jnp.stack([a1, a2, b1, b2], axis=-2)  # (N, 4, 4)
-    # Smallest right singular vector of A.
-    _, _, Vt = jnp.linalg.svd(A)
-    Xh = Vt[..., 3, :]
+    # Smallest right singular vector of A == eigenvector of A^T A with the
+    # smallest eigenvalue. jnp.linalg.svd on (N, 4, 4) lowers to a
+    # scalar-unit-serial kernel on TPU (measured: it dominated the fused
+    # keyframe branch); instead run inverse-power iteration with the
+    # CLOSED-FORM symmetric 4x4 inverse (kernels/schur.py) — pure batched
+    # arithmetic, VPU-friendly. Rows are normalized first (doesn't change
+    # the nullspace, conditions A^T A for float32).
+    from laneslam.kernels.schur import inv_sym_batched
+
+    A = A / jnp.maximum(jnp.linalg.norm(A, axis=-1, keepdims=True), 1e-12)
+    AtA = jnp.einsum("...ka,...kb->...ab", A, A)
+    eps = 1e-6 * jnp.trace(AtA, axis1=-2, axis2=-1)[..., None, None] + 1e-12
+    Minv = inv_sym_batched(AtA + eps * jnp.eye(4, dtype=A.dtype))
+    x = jnp.ones(A.shape[:-2] + (4,), A.dtype)
+    for _ in range(8):
+        x = jnp.einsum("...ab,...b->...a", Minv, x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+    Xh = x
     w = Xh[..., 3]
     X = Xh[..., :3] / jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)[..., None]
     # Cheirality: positive depth in both cameras.

@@ -35,14 +35,30 @@ def umeyama_alignment(
     xs = src - mu_s
     xd = dst - mu_d
     cov = jnp.einsum("n,ni,nj->ij", w, xd, xs)
-    U, D, Vt = jnp.linalg.svd(cov)
-    S = jnp.eye(3, dtype=src.dtype)
-    det = jnp.linalg.det(U) * jnp.linalg.det(Vt)
-    S = S.at[2, 2].set(jnp.where(det < 0, -1.0, 1.0))
-    R = U @ S @ Vt
+    # 3x3 SVD via eigh of cov^T cov (TPU: batched/vmapped jnp.linalg.svd
+    # lowers to a scalar-serial kernel — loop verification runs 1280 of
+    # these per keyframe; eigh is ~200x faster at these shapes).
+    # eigh returns ASCENDING eigenvalues: index 0 = smallest singular value.
+    # Minimal 3-point fits are rank 2 by construction (centered points span
+    # a plane), so U's smallest column is completed by a cross product —
+    # the det-correction term absorbs the arbitrary sign (Umeyama's R is
+    # invariant to it).
+    CtC = cov.T @ cov
+    ew, V = jnp.linalg.eigh(CtC)
+    sig = jnp.sqrt(jnp.maximum(ew, 0.0))
+    u2 = cov @ V[:, 2] / jnp.maximum(sig[2], 1e-12)
+    u1r = cov @ V[:, 1]
+    u1r = u1r - jnp.dot(u1r, u2) * u2
+    u1 = u1r / jnp.maximum(jnp.linalg.norm(u1r), 1e-12)
+    u0 = jnp.cross(u1, u2)  # det(U) = +1 by construction
+    U = jnp.stack([u0, u1, u2], axis=-1)
+    detV = jnp.linalg.det(V)
+    d0 = jnp.where(detV < 0, -1.0, 1.0)  # = det(U) det(V), det(U) = +1
+    Dv = jnp.stack([d0, jnp.ones_like(d0), jnp.ones_like(d0)])
+    R = jnp.einsum("ij,j,kj->ik", U, Dv, V)
     var_s = jnp.einsum("n,ni->", w, xs * xs)
     if with_scale:
-        s = jnp.sum(D * jnp.diag(S)) / jnp.maximum(var_s, 1e-12)
+        s = jnp.sum(sig * Dv) / jnp.maximum(var_s, 1e-12)
     else:
         s = jnp.asarray(1.0, dtype=src.dtype)
     t = mu_d - s * R @ mu_s

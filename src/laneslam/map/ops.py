@@ -171,6 +171,31 @@ def window_ids(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.minimum(ids, m.kf_T_wc.shape[0] - 1), valid
 
 
+def window_ids_covis(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Covisibility-driven BA window (SURVEY C12's stated purpose): the
+    newest keyframe + its top-(W-1) covisible keyframes, with the W//2 most
+    recent keyframes guaranteed a slot (tracking continuity). On a revisit,
+    old keyframes sharing landmarks with the newest enter the window so
+    their shared landmarks are re-optimized against BOTH passes, instead of
+    the last-W window seeing only the second pass.
+
+    Returns (ids ascending, slot_valid) like window_ids.
+    """
+    K = m.kf_T_wc.shape[0]
+    newest = jnp.minimum(m.kf_count - 1, K - 1)
+    k = jnp.arange(K)
+    live = m.kf_valid & (k < m.kf_count) & (k != newest)
+    recent = live & (k >= m.kf_count - (W // 2))
+    score = jnp.where(live, m.covis[newest] + jnp.where(recent, 10**6, 0), -1)
+    top_v, top_i = jax.lax.top_k(score, W - 1)
+    ids = jnp.concatenate([top_i, newest[None]])
+    valid = jnp.concatenate([top_v > 0, jnp.ones((1,), bool)])
+    # Ascending order (BA fixes the first poses = the oldest / old-map ones),
+    # invalid slots pushed to the end.
+    order = jnp.argsort(jnp.where(valid, ids, K + 1))
+    return jnp.minimum(ids[order], K - 1), valid[order]
+
+
 def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray) -> BAProblem:
     """Build a BAProblem over window keyframes + the global landmark arrays."""
     W = ids.shape[0]
@@ -194,13 +219,18 @@ def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray) -> BAP
         & slot_valid[ln_w]
         & m.ln_valid[ln_l]
     )
-    # Landmarks anchored before the window are constants: older keyframes
-    # (not in this window) also constrain them, and moving them to fit only
-    # recent observations drags the whole old map (measured: recomposed
-    # trajectory ATE degraded 0.70 -> 0.86 without this).
-    window_start = ids[0]
-    pt_free = m.pt_anchor_kf >= window_start
-    ln_free = m.ln_anchor_kf >= window_start
+    # Landmarks anchored OUTSIDE the window are constants: keyframes not in
+    # this window also constrain them, and moving them to fit only the
+    # window's observations drags the rest of the map (measured: recomposed
+    # trajectory ATE degraded 0.70 -> 0.86 without this). Membership is a
+    # scatter over the window ids — valid for non-contiguous (covisibility-
+    # driven) windows too.
+    K = m.kf_T_wc.shape[0]
+    in_window = jnp.zeros((K,), bool).at[
+        jnp.where(slot_valid, ids, K + 1)
+    ].set(True, mode="drop")
+    pt_free = in_window[jnp.clip(m.pt_anchor_kf, 0, K - 1)] & (m.pt_anchor_kf >= 0)
+    ln_free = in_window[jnp.clip(m.ln_anchor_kf, 0, K - 1)] & (m.ln_anchor_kf >= 0)
     return BAProblem(
         T_cw=T_cw,
         points=m.pt_xyz,
@@ -233,21 +263,22 @@ def apply_scale_correction(
     """Mono loop closure: renormalize accumulated scale drift (SURVEY §7.3.5).
 
     The Sim(3) verification says cur-side geometry must scale by `s` to land
-    on the (older, trusted) cand-side. The drift accumulated along the chain
-    (cand, cur], so the correction is distributed geometrically: per-step
-    factor f = s^(1/(cur-cand)); keyframe k gets cumulative factor
-    g_k = f^clip(k-cand, 0, cur-cand). Translation deltas along the keyframe
-    chain are scaled by g, landmarks are rescaled about their anchor
-    keyframe (points: X' = T_new (g_a * T_old^-1 X); Plücker lines: the
-    moment n scales, the direction v does not).
+    on the (older, trusted) cand-side. Mono scale drift PERSISTS once it
+    slips (tracking inherits the local map's scale), so the physical model
+    is a shared factor across the whole span, not a geometric ramp: every
+    translation delta along (cand, cur] scales uniformly by s — which also
+    restores the cand->cur span length exactly for any slip location (a
+    geometric ramp under-corrects step drifts; measured 3.098 vs 3.0 on the
+    unit fixture). Landmarks rescale about their anchor keyframe (points:
+    X' = T_new (g_a * T_old^-1 X); Plücker lines: the moment n scales, the
+    direction v does not).
     """
     from laneslam.geometry.lines import plucker_transform
 
     K = m.kf_T_wc.shape[0]
-    n = jnp.maximum(kf_cur - kf_cand, 1).astype(jnp.float32)
-    f = s ** (1.0 / n)
     k = jnp.arange(K)
-    g = f ** jnp.clip(k - kf_cand, 0, kf_cur - kf_cand).astype(jnp.float32)  # (K,)
+    in_span = (k > kf_cand) & (k <= kf_cur)
+    g = jnp.where(in_span, s, 1.0)  # (K,) per-delta / per-anchor factor
 
     t = m.kf_T_wc[:, :3, 3]
     d = jnp.diff(t, axis=0, prepend=t[:1])  # d[0] = 0, d[k] = t[k]-t[k-1]

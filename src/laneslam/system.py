@@ -97,28 +97,57 @@ def _track(
     cfg: SlamConfig,
     cam: Camera,
 ):
-    """Local-map tracking: project all landmarks into the motion-model
+    """Local-map tracking: project landmarks into the motion-model
     predicted view, descriptor-GEMM match with a projection-radius gate,
-    then PnP RANSAC. (One jit program; the (Kc, P) gate+GEMM is MXU work.)"""
+    then PnP RANSAC. (One jit program; the (Kc, P) gate+GEMM is MXU work.)
+
+    cfg.frontend.track_local_landmarks restricts candidates to the last two
+    keyframes' observation rows (2*Op slots instead of the full landmark
+    capacity) — 16x less gate/GEMM/top_k work for the fused chunk path.
+    """
     from laneslam.geometry.camera import project_points
 
+    if cfg.frontend.track_local_landmarks:
+        kf_id = jnp.argmax(
+            jnp.where(m.kf_valid, jnp.arange(m.kf_T_wc.shape[0]), -1)
+        )
+        row1 = m.obs_pt_idx[kf_id]
+        row2 = m.obs_pt_idx[jnp.maximum(kf_id - 1, 0)]
+        P = m.pt_xyz.shape[0]
+        # Drop row2 entries already present in row1 (duplicate columns break
+        # the mutual-nearest cross check: the reverse argmax may land on the
+        # twin column).
+        member = jnp.zeros((P + 1,), bool).at[
+            jnp.where(row1 >= 0, row1, P + 1)
+        ].set(True, mode="drop")
+        dup2 = member[jnp.clip(row2, 0, P)] & (row2 >= 0)
+        cand = jnp.concatenate([row1, jnp.where(dup2, -1, row2)])
+        ci = jnp.maximum(cand, 0)
+        cand_ok = (cand >= 0) & m.pt_valid[ci]
+        pt_xyz, pt_desc = m.pt_xyz[ci], m.pt_desc[ci]
+    else:
+        cand = None
+        cand_ok = m.pt_valid
+        pt_xyz, pt_desc = m.pt_xyz, m.pt_desc
+
     T_cw_pred = se3.inverse(T_pred)
-    uv_proj, z = project_points(cam, se3.transform_points(T_cw_pred, m.pt_xyz))
+    uv_proj, z = project_points(cam, se3.transform_points(T_cw_pred, pt_xyz))
     in_img = (
         (z > 0.2)
         & (uv_proj[:, 0] >= -20) & (uv_proj[:, 0] < cam.width + 20)
         & (uv_proj[:, 1] >= -20) & (uv_proj[:, 1] < cam.height + 20)
     )
-    vis = m.pt_valid & in_img
+    vis = cand_ok & in_img
     # Spatial gate: feature within a search radius of the predicted pixel.
     r = cfg.match.max_point_dist_px
     d = jnp.linalg.norm(cur.points.uv[:, None, :] - uv_proj[None, :, :], axis=-1)
     gate = d < r
     matches = match_descriptors(
-        cur.point_desc, m.pt_desc, cur.points.valid, vis,
+        cur.point_desc, pt_desc, cur.points.valid, vis,
         gate=gate, ratio=cfg.match.ratio, cross_check=cfg.match.cross_check,
     )
-    cur_lm = jnp.where(matches.valid, matches.idx, -1)
+    idx_global = matches.idx if cand is None else cand[jnp.maximum(matches.idx, 0)]
+    cur_lm = jnp.where(matches.valid, idx_global, -1)
     has_lm = matches.valid
     X = m.pt_xyz[jnp.maximum(cur_lm, 0)]
     res = solve_pnp_ransac(
@@ -388,7 +417,10 @@ def _cull(m: MapState, min_obs: int, min_age_kf: int, pressure: float):
 
 @partial(jax.jit, static_argnames=("cfg", "cam", "num_fixed"))
 def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
-    ids, slot_valid = ops.window_ids(m, cfg.ba.window_size)
+    if cfg.ba.covis_window:
+        ids, slot_valid = ops.window_ids_covis(m, cfg.ba.window_size)
+    else:
+        ids, slot_valid = ops.window_ids(m, cfg.ba.window_size)
     prob = ops.gather_window(m, ids, slot_valid)
     out, info = ba_solve(prob, cam, cfg.ba, num_fixed_poses=num_fixed)
     m = ops.scatter_window(m, out, ids, slot_valid)
@@ -416,15 +448,19 @@ class EdgeStore(NamedTuple):
 
 
 @jax.jit
-def _add_edge(es: EdgeStore, i, j, T, w):
+def _add_edge(es: EdgeStore, i, j, T, w, enabled=True):
+    """Append an edge; `enabled=False` (traced) makes it a masked no-op
+    (writes go out of bounds and are dropped) — the TPU-idiomatic
+    conditional for the fused chunk path."""
     E = es.edge_i.shape[0]
-    at = jnp.minimum(es.count, E - 1)
+    en = jnp.asarray(enabled)
+    at = jnp.where(en, jnp.minimum(es.count, E - 1), E + 1)
     return es._replace(
-        edge_i=es.edge_i.at[at].set(i),
-        edge_j=es.edge_j.at[at].set(j),
-        edge_T=es.edge_T.at[at].set(T),
-        edge_weight=es.edge_weight.at[at].set(w),
-        count=jnp.minimum(es.count + 1, E),
+        edge_i=es.edge_i.at[at].set(i, mode="drop"),
+        edge_j=es.edge_j.at[at].set(j, mode="drop"),
+        edge_T=es.edge_T.at[at].set(T, mode="drop"),
+        edge_weight=es.edge_weight.at[at].set(w, mode="drop"),
+        count=jnp.minimum(es.count + en.astype(jnp.int32), E),
     )
 
 
@@ -432,19 +468,16 @@ def _add_edge(es: EdgeStore, i, j, T, w):
 def _apply_loop_scale(m: MapState, es: EdgeStore, kf_cand, kf_cur, s):
     """Mono Sim(3) closure: renormalize map scale + the span's odometry edges.
 
-    ops.apply_scale_correction distributes the per-step factor f along the
-    chain; the stored odometry edge measurements (weight 1.0) inside the
-    span must scale consistently (edge j-1->j translation by g_j), otherwise
-    the SE(3) PGO would fight the renormalization with stale-scale edges.
+    ops.apply_scale_correction scales every chain delta in (cand, cur] by s
+    (uniform — mono scale drift persists once it slips); the stored odometry
+    edge measurements inside the span must scale consistently, otherwise the
+    SE(3) PGO would fight the renormalization with stale-scale edges.
     """
     m = ops.apply_scale_correction(m, kf_cand, kf_cur, s)
-    n = jnp.maximum(kf_cur - kf_cand, 1).astype(jnp.float32)
-    f = s ** (1.0 / n)
-    g_edge = f ** jnp.clip(es.edge_j - kf_cand, 0, kf_cur - kf_cand).astype(jnp.float32)
     # Odometry edges carry weight <= 1.0 (span tracking quality); loop edges
     # are floored at 1.5 — the weight discriminates the two classes.
     in_span = (es.edge_j > kf_cand) & (es.edge_j <= kf_cur) & (es.edge_weight <= 1.0)
-    scale_e = jnp.where(in_span, g_edge, 1.0)
+    scale_e = jnp.where(in_span, s, 1.0)
     edge_T = es.edge_T.at[:, :3, 3].multiply(scale_e[:, None])
     return m, es._replace(edge_T=edge_T)
 
@@ -462,6 +495,174 @@ def _run_pgo(m: MapState, es: EdgeStore, cfg: SlamConfig):
     out, info = pgo_solve(prob, cfg.pgo, num_fixed=1, cg_iters=60)
     m = ops.apply_pose_corrections(m, out.T_wc)
     return m, info.cost
+
+
+class SlamCarry(NamedTuple):
+    """Full SLAM state as a scan carry: the chunked path keeps the entire
+    optimize/match loop in HBM (BASELINE.json:5) — one dispatch per N
+    frames, one packed (N, 45) readback."""
+
+    m: MapState
+    es: EdgeStore
+    kf_feats: FrameFeatures
+    T_cur: jnp.ndarray  # (4, 4)
+    last_rel: jnp.ndarray  # (4, 4)
+    kf_id: jnp.ndarray  # i32
+    frames_since_kf: jnp.ndarray  # i32
+    span_min_inl: jnp.ndarray  # i32 (tracking quality over the KF span)
+    span_fallbacks: jnp.ndarray  # i32
+    num_loops: jnp.ndarray  # i32
+    ring: MetricsRing
+    key: jax.Array
+
+
+_SPAN_INIT = jnp.asarray(10**9, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _extract_chunk(imgs: jnp.ndarray, cfg: SlamConfig) -> FrameFeatures:
+    """Feature extraction for a whole chunk, as its OWN dispatch.
+
+    Deliberately a separate XLA program from _slam_chunk: inside the fused
+    mega-program, XLA's memory-space assignment evicted the LSD label-
+    propagation state from VMEM (profiled: the label sweep while-loop spent
+    ~22 ms/frame blocked on HBM DMA vs ~10 us/frame when extraction
+    compiles standalone). Two dispatches per chunk cost ~0.2 ms through the
+    tunnel — 100x less than the VMEM eviction did.
+
+    lax.scan over the frames, NOT vmap: vmapping the LSD label-propagation
+    while-loop batches its (H, W) label state out of VMEM again (measured
+    119 ms/frame vmapped vs ~1 ms scanned).
+    """
+    _, feats = jax.lax.scan(
+        lambda c, im: (c, extract_features(im, cfg)), jnp.zeros(()), imgs
+    )
+    return feats
+
+
+@partial(
+    jax.jit, static_argnames=("cfg", "cam", "enable_ba", "enable_loop")
+)
+def _slam_chunk(
+    carry: SlamCarry,
+    feats_chunk: FrameFeatures,  # stacked (N, ...) features of the chunk
+    vocab: jnp.ndarray,
+    cfg: SlamConfig,
+    cam: Camera,
+    enable_ba: bool = True,
+    enable_loop: bool = True,
+):
+    """N monocular SLAM frames in ONE device dispatch (configs 2/3), at a
+    FIXED keyframe cadence of one keyframe per chunk.
+
+    Structure (the optimize/match loop never leaves HBM, BASELINE.json:5):
+      1. lax.scan over the N frames: extract + track only. The map is a
+         closure constant during the scan (no keyframe mid-chunk), so the
+         carry stays small.
+      2. ONE unconditional backend block on the chunk's last frame:
+         make-keyframe + cull + window BA + loop retrieve/verify + PGO.
+         Conditionality is expressed as masking (OOB-dropped scatters,
+         identity scale), never lax.cond: measured on this backend, a
+         dynamic cond inside scan executes at taken-branch cost EVERY
+         iteration (112 ms/frame vs 24 with the cond removed), so an
+         adaptive-keyframe cond formulation paid the full backend per frame.
+
+    Fixed cadence vs the host path's adaptive keyframing: with
+    chunk_frames <= kf_max_interval the cadence is at least as dense as the
+    adaptive interval rule; the tracking-quality signal still reaches the
+    graph through the span-quality odometry edge weights.
+
+    Returns (carry, (packed (N, 36), kf_stats (26,))). packed rows follow
+    _track_step's layout. kf_stats: [0:16] refined last-frame pose,
+    [16] kf_id, [17] new_pts, [18] new_lines, [19] ba_cost0, [20] ba_costN,
+    [21] loop_accepted, [22] loop_cand, [23] loop_inliers, [24] loop_scale,
+    [25] span_fallbacks over the chunk.
+    """
+    f32 = jnp.float32
+    m = carry.m  # constant through the tracking scan
+    kf_id = carry.kf_id
+
+    def frame_step(c, feats):
+        T_cur, last_rel, fsk, feats_prev, lm_prev, inl_prev, span_min, span_fb, ring, key = c
+        key, k = jax.random.split(key)
+        fsk = fsk + 1
+        T_wc, cur_lm, inl_mask, last_rel2, packed, ring = _track_step(
+            m, feats, T_cur, last_rel, kf_id, fsk, ring, k, cfg, cam
+        )
+        n_inl = packed[32].astype(jnp.int32)
+        fallback = packed[34] > 0
+        span_min = jnp.where(fallback, span_min, jnp.minimum(span_min, n_inl))
+        span_fb = span_fb + fallback.astype(jnp.int32)
+        return (
+            T_wc, last_rel2, fsk, feats, cur_lm, inl_mask, span_min, span_fb,
+            ring, key,
+        ), packed
+
+    c0 = (
+        carry.T_cur, carry.last_rel, carry.frames_since_kf,
+        carry.kf_feats,
+        jnp.full((cfg.points.max_points,), -1, jnp.int32),
+        jnp.zeros((cfg.points.max_points,), bool),
+        carry.span_min_inl, carry.span_fallbacks, carry.ring, carry.key,
+    )
+    (T_last, last_rel, fsk, feats_last, lm_last, inl_last, span_min, span_fb,
+     ring, key), packed = jax.lax.scan(frame_step, c0, feats_chunk)
+
+    # ---- unconditional keyframe + backend block (once per chunk) ----
+    key, k_loop = jax.random.split(key)
+    m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
+        m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
+        T_last, vocab, cfg, cam,
+    )
+    w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
+    w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
+    es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel, w)
+    m2, _cp, _cl = ops.cull_landmarks(
+        m2, min_obs=cfg.map.cull_min_obs, min_age_kf=cfg.map.cull_min_age_kf,
+        pressure=cfg.map.cull_pressure,
+    )
+    ba_stats = jnp.zeros((2,), f32)
+    if enable_ba:
+        m2, ba_cost = _window_ba(m2, cfg, cam)
+        ba_stats = jnp.stack([ba_cost[0], ba_cost[-1]])
+    loop_stats = jnp.zeros((4,), f32)
+    nloops = carry.num_loops
+    if enable_loop:
+        cand_ids, _sims = query_kfdb(
+            m2.kf_agg_desc, m2.kf_valid, m2.kf_agg_desc[kf_id2],
+            kf_id2, cfg.loop, covis_row=m2.covis[kf_id2],
+        )
+        lr = verify_loops(
+            m2, kf_id2, cand_ids, k_loop, cfg.loop, with_scale=True, cam=cam,
+        )
+        # Masked Sim(3) renormalization: s_eff == 1 is the identity map.
+        s_eff = jnp.where(
+            lr.accepted & (jnp.abs(lr.scale - 1.0) > 0.02), lr.scale, 1.0
+        )
+        m2, es2 = _apply_loop_scale(m2, es2, lr.best_cand, kf_id2, s_eff)
+        w_loop = jnp.clip(lr.num_inliers.astype(f32) / 12.0, 1.5, 6.0)
+        es2 = _add_edge(
+            es2, lr.best_cand, kf_id2, lr.T_rel, w_loop, enabled=lr.accepted
+        )
+        m2, _cost = _run_pgo(m2, es2, cfg)
+        nloops = nloops + lr.accepted.astype(jnp.int32)
+        loop_stats = jnp.stack([
+            lr.accepted.astype(f32), lr.best_cand.astype(f32),
+            lr.num_inliers.astype(f32), lr.scale,
+        ])
+    T_after = m2.kf_T_wc[kf_id2]
+    kf_stats = jnp.concatenate([
+        T_after.reshape(-1),
+        jnp.stack([kf_id2.astype(f32), n_p.astype(f32), n_l.astype(f32)]),
+        ba_stats, loop_stats, span_fb.astype(f32)[None],
+    ])
+    c2 = SlamCarry(
+        m=m2, es=es2, kf_feats=feats_last, T_cur=T_after, last_rel=last_rel,
+        kf_id=kf_id2, frames_since_kf=jnp.asarray(0, jnp.int32),
+        span_min_inl=_SPAN_INIT, span_fallbacks=jnp.asarray(0, jnp.int32),
+        num_loops=nloops, ring=ring, key=key,
+    )
+    return c2, (packed, kf_stats)
 
 
 # --------------------------------------------------------------------------
@@ -798,6 +999,94 @@ class SlamSystem:
     def drain_metrics(self) -> dict:
         """One D->H transfer of the device metrics ring (SURVEY.md §5.5)."""
         return metrics_drain(_METRICS_SCHEMA, self.metrics_ring)
+
+    def process_chunk(self, imgs: np.ndarray) -> np.ndarray:
+        """N mono frames in ONE device dispatch (_slam_chunk): the whole
+        track/keyframe/BA/loop/PGO loop stays in HBM; the host gets one
+        packed (N, 45) readback. Requires a bootstrapped system (drive the
+        first frames through process_frame). Returns the (N, 4, 4) poses.
+        """
+        assert self.bootstrapped and self.kf_id is not None, "bootstrap first"
+        assert not self.stereo, "chunked path is mono (configs 2/3)"
+        n_real = len(imgs)
+        chunk = max(self.cfg.frontend.chunk_frames, 1)
+        if n_real % chunk != 0:
+            # Pad the tail to the static chunk shape (a different length
+            # would trigger a full recompile of the fused program — ~60 s);
+            # padded frames replay the last image and their outputs are
+            # dropped, but their state effects must not stick, so pad-run
+            # state is rolled back by processing only full chunks here and
+            # the remainder through the per-frame path.
+            head = (n_real // chunk) * chunk
+            out = []
+            if head:
+                out.append(self.process_chunk(imgs[:head]))
+            for f in imgs[head:]:
+                out.append(self.process_frame(f)[None])
+            return np.concatenate(out) if out else np.zeros((0, 4, 4), np.float32)
+        carry = SlamCarry(
+            m=self.map, es=self.edges, kf_feats=self.kf_feats,
+            T_cur=jnp.asarray(self.T_cur), last_rel=jnp.asarray(self._last_rel),
+            kf_id=jnp.asarray(self.kf_id, jnp.int32),
+            frames_since_kf=jnp.asarray(self.frames_since_kf, jnp.int32),
+            span_min_inl=jnp.asarray(min(self._span_min_inl, 10**9), jnp.int32),
+            span_fallbacks=jnp.asarray(self._span_fallbacks, jnp.int32),
+            num_loops=jnp.asarray(self.num_loops, jnp.int32),
+            ring=self.metrics_ring, key=self.key,
+        )
+        feats_chunk = _extract_chunk(jnp.asarray(imgs, jnp.float32), self.cfg)
+        if self.rectify is not None:
+            feats_chunk = jax.vmap(lambda f: _rectify_feats(f, self.rectify[0]))(
+                feats_chunk
+            )
+        carry, (packed, kf_stats) = _slam_chunk(
+            carry, feats_chunk, self._vocab,
+            self.cfg, self.cam, self.enable_ba, self.enable_loop,
+        )
+        # ONE bundled host<-device sync for the whole chunk.
+        arr, ks = np.asarray(packed), np.asarray(kf_stats)
+        self.map, self.edges = carry.m, carry.es
+        self.kf_feats = carry.kf_feats
+        self.T_cur = carry.T_cur
+        self._last_rel = carry.last_rel
+        self.kf_id = carry.kf_id
+        self._kf_id_host = int(ks[16])
+        self.frames_since_kf = 0
+        self._span_min_inl = 10 ** 9
+        self._span_fallbacks = 0
+        self.num_loops = int(carry.num_loops)
+        self.metrics_ring = carry.ring
+        self.key = carry.key
+
+        kf_before = self._kf_id_host - 1  # chunk-start keyframe id
+        poses = arr[:, :16].reshape(-1, 4, 4).astype(np.float32)
+        poses[-1] = ks[:16].reshape(4, 4).astype(np.float32)  # refined
+        for f, (r, pose) in enumerate(zip(arr, poses)):
+            self.poses.append(pose)
+            last = f == len(arr) - 1
+            stat = {
+                "inliers": int(r[32]), "tracked": int(r[33]), "kf": last,
+            }
+            if last:
+                stat["new_points"] = int(ks[17])
+                stat["new_lines"] = int(ks[18])
+                if self.enable_ba:
+                    stat["ba_cost0"] = float(ks[19])
+                    stat["ba_costN"] = float(ks[20])
+                if ks[21] > 0:
+                    stat["loop"] = int(ks[22])
+                    stat["loop_inliers"] = int(ks[23])
+                    stat["loop_scale"] = float(ks[24])
+                self.frame_refs.append(
+                    (self._kf_id_host, np.eye(4, dtype=np.float32))
+                )
+            else:
+                self.frame_refs.append(
+                    (kf_before, r[16:32].reshape(4, 4).astype(np.float32))
+                )
+            self.stats.append(stat)
+        self._maybe_sync()
+        return poses
 
     def trajectory(self) -> np.ndarray:
         """Full per-frame trajectory recomposed against FINAL keyframe poses

@@ -74,9 +74,9 @@ def test_concatenate_offsets():
     row = -jnp.ones((4,), jnp.int32)
     m2 = m2._replace(obs_pt_idx=m2.obs_pt_idx.at[0].set(row.at[0].set(1)))
     merged, kf_off, lm_off = concatenate_maps([m1, m2])
-    # Counts are allocator high-water marks (capacity-aligned session slots);
-    # the number of live landmarks is the valid mask.
-    assert int(merged.pt_count) == 16
+    # pt_count is the LIVE landmark count (it drives cull pressure);
+    # session slots stay capacity-aligned in the arrays regardless.
+    assert int(merged.pt_count) == 5
     assert int(merged.pt_valid.sum()) == 5
     assert kf_off.tolist() == [0, 4]
     assert lm_off[:, 0].tolist() == [0, 8]

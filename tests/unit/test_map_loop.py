@@ -145,3 +145,128 @@ def test_verify_loop_on_clean_duplicated_landmarks():
     # moving cur-side geometry by inv(drift) aligns it onto old-side.
     T_expect = se3.inverse(jnp.eye(4)) @ (se3.inverse(drift) @ T_cur)
     np.testing.assert_allclose(np.asarray(res.T_rel), np.asarray(T_expect), atol=1e-3)
+
+
+def test_verify_loop_recovers_mono_scale_drift():
+    """Sim(3) path (SURVEY C13, VERDICT r2 #3): cur-side local geometry
+    scaled by 1.1x (mono scale drift) — verify_loop(with_scale=True) must
+    recover the scale to <2% and still accept."""
+    cfg = MapConfig(max_keyframes=8, max_points=256, max_lines=16,
+                    max_obs_per_kf=32, max_line_obs_per_kf=4)
+    m = make_empty_map(cfg)
+    N = 30
+    X_true = jax.random.normal(jax.random.PRNGKey(3), (N, 3)) * 3.0
+    desc = jax.random.normal(jax.random.PRNGKey(4), (N, 256))
+    desc = desc / jnp.linalg.norm(desc, axis=-1, keepdims=True)
+
+    lam = 1.1  # cur-side map is 10% too large
+    drift = se3.exp(jnp.array([0.4, -0.2, 0.3, 0.05, 0.08, -0.03]))
+    T_cur = se3.exp(jnp.array([0.1, 0.0, 0.0, 0.0, 0.02, 0.0]))
+    # cur-local geometry = lam * (true cur-local geometry under drift)
+    X_cur_local = lam * se3.transform_points(
+        se3.inverse(T_cur), se3.transform_points(drift, X_true)
+    )
+    X_cur_world = se3.transform_points(T_cur, X_cur_local)
+
+    m, ids_old = ops.add_points(m, X_true, desc, jnp.ones(N, bool), jnp.zeros(N, jnp.int32))
+    m, ids_new = ops.add_points(m, X_cur_world, desc, jnp.ones(N, bool), jnp.ones(N, jnp.int32))
+
+    Op, Ol = cfg.max_obs_per_kf, cfg.max_line_obs_per_kf
+
+    def row(ids):
+        r = -jnp.ones((Op,), jnp.int32)
+        return r.at[: ids.shape[0]].set(ids)
+
+    uv = jnp.zeros((Op, 2)); ln = -jnp.ones((Ol,), jnp.int32)
+    seg = jnp.zeros((Ol, 4)); agg = jnp.zeros((128,))
+    m, k_old = ops.insert_keyframe(m, jnp.eye(4), row(ids_old), uv, ln, seg, agg)
+    m, k_cur = ops.insert_keyframe(m, T_cur, row(ids_new), uv, ln, seg, agg)
+
+    res = verify_loop(m, k_cur, k_old, jax.random.PRNGKey(5),
+                      LoopConfig(min_inliers=15), with_scale=True)
+    assert bool(res.accepted)
+    assert abs(float(res.scale) - 1.0 / lam) < 0.02 / lam, float(res.scale)
+    # SE(3) fit on the same data must NOT be accepted with a good score:
+    # the scale mismatch leaves few rigid-consistent pairs near the origin.
+    res_se3 = verify_loop(m, k_cur, k_old, jax.random.PRNGKey(5),
+                          LoopConfig(min_inliers=15), with_scale=False)
+    assert int(res_se3.num_inliers) < int(res.num_inliers)
+
+
+def test_apply_scale_correction_renormalizes_chain():
+    """ops.apply_scale_correction: distributing s along (cand, cur] restores
+    the cand->cur span length to <2% and leaves the prefix untouched."""
+    cfg = MapConfig(max_keyframes=8, max_points=64, max_lines=8,
+                    max_obs_per_kf=16, max_line_obs_per_kf=4)
+    m = make_empty_map(cfg)
+    lam = 1.1
+    # Ground-truth chain: 6 keyframes advancing 1 m in z each; after kf2 the
+    # estimated translations are scaled by lam (injected scale drift).
+    t_gt = np.stack([np.array([0.0, 0, k], np.float32) for k in range(6)])
+    t_est = t_gt.copy()
+    for k in range(3, 6):
+        t_est[k] = t_est[k - 1] + lam * (t_gt[k] - t_gt[k - 1])
+    Op, Ol = cfg.max_obs_per_kf, cfg.max_line_obs_per_kf
+    uv = jnp.zeros((Op, 2)); pr = -jnp.ones((Op,), jnp.int32)
+    ln = -jnp.ones((Ol,), jnp.int32); seg = jnp.zeros((Ol, 4)); agg = jnp.zeros((128,))
+    for k in range(6):
+        T = jnp.eye(4).at[:3, 3].set(t_est[k])
+        m, _ = ops.insert_keyframe(m, T, pr, uv, ln, seg, agg)
+    # Landmark anchored at kf4, 2 m ahead of it (in drifted scale).
+    X = jnp.asarray(t_est[4] + np.array([0, 0, 2.0 * lam], np.float32))[None]
+    d = jnp.ones((1, 256)) / 16.0
+    m, pid = ops.add_points(m, X, d, jnp.ones(1, bool), jnp.full(1, 4, jnp.int32))
+
+    s = 1.0 / lam  # correction measured by Sim(3) verification at kf5 vs kf2
+    m2 = ops.apply_scale_correction(m, jnp.asarray(2), jnp.asarray(5), jnp.asarray(s))
+    t_new = np.asarray(m2.kf_T_wc[:6, :3, 3])
+    # Prefix untouched.
+    np.testing.assert_allclose(t_new[:3], t_est[:3], atol=1e-6)
+    # Span length restored to <2% of ground truth.
+    span_gt = np.linalg.norm(t_gt[5] - t_gt[2])
+    span_new = np.linalg.norm(t_new[5] - t_new[2])
+    assert abs(span_new - span_gt) / span_gt < 0.02
+    # Landmark moved consistently with its anchor (stays ~2 m ahead of kf4
+    # in corrected scale).
+    X_new = np.asarray(m2.pt_xyz[int(pid[0])])
+    ahead = X_new - t_new[4]
+    assert abs(np.linalg.norm(ahead) - 2.0) < 0.1
+
+
+def test_window_ids_covis_pulls_in_old_covisible_keyframe():
+    """SURVEY C12: the covisibility-driven window = newest + most covisible,
+    with the most recent W//2 guaranteed; on a revisit the old keyframe
+    sharing landmarks with the newest gets a slot that last-W would not
+    give it."""
+    cfg = MapConfig(max_keyframes=16, max_points=512, max_lines=8,
+                    max_obs_per_kf=32, max_line_obs_per_kf=4)
+    m = make_empty_map(cfg)
+    Op, Ol = cfg.max_obs_per_kf, cfg.max_line_obs_per_kf
+    uv = jnp.zeros((Op, 2)); ln = -jnp.ones((Ol,), jnp.int32)
+    seg = jnp.zeros((Ol, 4)); agg = jnp.zeros((128,))
+    desc = jnp.ones((20, 256)) / 16.0
+
+    def row(ids):
+        r = -jnp.ones((Op,), jnp.int32)
+        return r.at[: ids.shape[0]].set(ids)
+
+    empty = -jnp.ones((Op,), jnp.int32)
+    # kf0 observes landmarks L; kf1..kf8 observe nothing shared; kf9 (newest)
+    # revisits kf0's landmarks.
+    m, ids0 = ops.add_points(m, jnp.zeros((20, 3)), desc, jnp.ones(20, bool),
+                             jnp.zeros(20, jnp.int32))
+    m, _ = ops.insert_keyframe(m, jnp.eye(4), row(ids0), uv, ln, seg, agg)
+    for k in range(1, 9):
+        m, _ = ops.insert_keyframe(m, jnp.eye(4), empty, uv, ln, seg, agg)
+    m, _ = ops.insert_keyframe(m, jnp.eye(4), row(ids0), uv, ln, seg, agg)
+
+    W = 6
+    ids, valid = ops.window_ids_covis(m, W)
+    ids = np.asarray(ids)[np.asarray(valid)]
+    assert 9 in ids  # newest
+    assert 0 in ids  # the old covisible keyframe — last-W would start at 4
+    assert 8 in ids  # recency guarantee (W//2 most recent)
+    assert list(ids) == sorted(ids)  # ascending for num_fixed semantics
+
+    ids_last, valid_last = ops.window_ids(m, W)
+    assert 0 not in np.asarray(ids_last)[np.asarray(valid_last)]
