@@ -28,8 +28,16 @@ class RunResult:
 
 
 def _load_dataset(cfg: SlamConfig, skip: int = 0):
-    """Returns (frame_iter, cam, gt_poses, num_frames); frame_iter yields np
-    arrays starting at frame `skip` (resume avoids re-decoding the prefix)."""
+    """Returns (frame_iter, cam, gt_poses, num_frames, rectify, paths);
+    frame_iter yields np arrays starting at frame `skip` (resume avoids
+    re-decoding the prefix). `rectify` is the mono RectifyParams pair for
+    distorted unrectified datasets (EuRoC): when sensor.yaml carries
+    distortion, ds.camera is the RECTIFIED pinhole model, so raw feature
+    coordinates must be mapped through it (SlamSystem rectify=...) —
+    otherwise raw pixels are interpreted under the wrong principal
+    point/focal (tens of px of error; ADVICE r3 #2). `paths` (file-backed
+    datasets only, else None) lets the chunked feed batch-decode whole
+    chunks through the native C++ thread pool (VERDICT r3 #9)."""
     d = cfg.data
     if d.dataset == "kitti":
         from laneslam.data.kitti import KittiOdometry
@@ -37,14 +45,16 @@ def _load_dataset(cfg: SlamConfig, skip: int = 0):
         ds = KittiOdometry(d.root, d.sequence)
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses[:n] if ds.gt_poses is not None else None
-        return (ds.read_frame(i) for i in range(skip, n)), ds.camera, gt, n
+        paths = [ds.frame_path(i) for i in range(skip, n)]
+        return (ds.read_frame(i) for i in range(skip, n)), ds.camera, gt, n, None, paths
     if d.dataset == "euroc":
         from laneslam.data.euroc import EurocStereo
 
         ds = EurocStereo(d.root)
         n = len(ds) if d.max_frames == 0 else min(d.max_frames, len(ds))
         gt = ds.gt_poses_at(ds.stamps0[:n])
-        return (ds.read_pair(i)[0] for i in range(skip, n)), ds.camera, gt, n
+        rect = (ds.rect[0], ds.rect[0]) if ds.rect is not None else None
+        return (ds.read_pair(i)[0] for i in range(skip, n)), ds.camera, gt, n, rect, None
     if d.dataset in ("synthetic", "synthetic_loop"):
         from laneslam.data.synthetic import (
             make_corridor_scene,
@@ -60,6 +70,8 @@ def _load_dataset(cfg: SlamConfig, skip: int = 0):
             scene.cam,
             scene.poses_wc,
             n,
+            None,
+            None,
         )
     raise ValueError(f"unknown dataset {d.dataset!r}")
 
@@ -94,8 +106,9 @@ def run_slam(
     from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
-    frames, cam, gt, n = _load_dataset(cfg)
-    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba)
+    frames, cam, gt, n, rect, paths = _load_dataset(cfg)
+    sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba,
+                      rectify=rect)
 
     start = 0
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
@@ -108,29 +121,26 @@ def run_slam(
             frames = _load_dataset(cfg, skip=start)[0]
         if verbose:
             print(f"[slam] resumed from {checkpoint_path} at frame {start}")
-    # P3: decode/convert frame t+1 on the host thread + async-upload while
-    # frame t computes (BASELINE.json:5 double-buffered host I/O). The
-    # chunked path stacks each chunk host-side and uploads it as one block.
-    frames = Prefetcher(frames, depth=2, upload=not chunked)
+    # Throughput mode: chunk outputs stay on device until the end of the run
+    # (or a checkpoint), so the steady-state loop is readback-free — on the
+    # tunneled TPU client a single readback degrades dispatch ~100x
+    # (runtime/hostsync.py).
+    sys_.defer_readback = chunked
+    chunk = max(cfg.frontend.chunk_frames, 1)
 
     t_start = time.perf_counter()
     t_first = None
     n_done = 0
-    buf: list = []
-    for i, img in enumerate(frames, start=start):
-        if chunked and sys_.bootstrapped:
-            buf.append(np.asarray(img))
-            if len(buf) >= max(cfg.frontend.chunk_frames, 1):
-                sys_.process_chunk(np.stack(buf))
-                buf = []
+    chunks_started = False
+
+    def _log(i):
+        if not verbose or i <= 0:
+            return
+        if sys_._pending_chunks:
+            # Deferred mode: no device reads for logging — the steady-state
+            # loop must stay readback-free.
+            print(f"[slam] frame {i}/{n} (deferred)")
         else:
-            sys_.process_frame(img)
-        n_done += 1
-        if t_first is None:
-            t_first = time.perf_counter()
-        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every == 0 and not buf:
-            save_system_state(checkpoint_path, sys_)
-        if verbose and i % 50 == 0 and i > 0:
             # §5.5: one bulk drain of the device metrics ring instead of
             # per-frame scalar reads.
             mtr = sys_.drain_metrics()
@@ -141,8 +151,68 @@ def run_slam(
                 if inl is not None and len(inl) else ""
             )
             print(f"[slam] frame {i}/{n} {msg} {sys_.stats[-1] if sys_.stats else {}}")
-    if buf:
-        sys_.process_chunk(np.stack(buf))
+
+    def _maybe_checkpoint(i):
+        if checkpoint_path and checkpoint_every and (i + 1) % checkpoint_every < (
+            chunk if chunks_started else 1
+        ):
+            save_system_state(checkpoint_path, sys_)  # flushes deferred chunks
+            sys_.resync()
+
+    if chunked and paths is not None:
+        # File-backed chunked feed (VERDICT r3 #9): the native C++ thread
+        # pool batch-decodes each chunk into ONE contiguous block while the
+        # device computes the previous chunk; process_chunk uploads it as a
+        # single transfer. Bootstrap frames come out of the same blocks.
+        from laneslam.runtime.prefetch import ChunkPrefetcher
+
+        i = start - 1
+        for block in ChunkPrefetcher(paths, chunk=chunk, depth=2):
+            if not sys_.bootstrapped:
+                for f in block:
+                    i += 1
+                    n_done += 1
+                    sys_.process_frame(f)
+            else:
+                if not chunks_started:
+                    chunks_started = True
+                    sys_.resync()  # bootstrap read back scalars per frame
+                sys_.process_chunk(block)
+                i += len(block)
+                n_done += len(block)
+            if t_first is None:
+                t_first = time.perf_counter()
+            _maybe_checkpoint(i)
+            if i % 50 < chunk:
+                _log(i)
+        sys_.flush_chunks()
+    else:
+        # P3: decode/convert frame t+1 on the host thread + async-upload
+        # while frame t computes (BASELINE.json:5 double-buffered host I/O).
+        # The chunked path stacks each chunk host-side, one upload per block.
+        frames = Prefetcher(frames, depth=2, upload=not chunked)
+        buf: list = []
+        for i, img in enumerate(frames, start=start):
+            if chunked and sys_.bootstrapped:
+                if not chunks_started:
+                    chunks_started = True
+                    sys_.resync()
+                buf.append(np.asarray(img))
+                if len(buf) >= chunk:
+                    sys_.process_chunk(np.stack(buf))
+                    buf = []
+            else:
+                sys_.process_frame(img)
+            n_done += 1
+            if t_first is None:
+                t_first = time.perf_counter()
+            if not buf:
+                _maybe_checkpoint(i)
+            if verbose and i % 50 == 0 and i > 0:
+                _log(i)
+        if buf:
+            sys_.process_chunk(np.stack(buf))
+        sys_.flush_chunks()
     elapsed = time.perf_counter() - (t_first or t_start)
     # fps over frames processed THIS run (resume skips `start` frames), and
     # excluding the first frame's jit compile (t_first starts after it).
@@ -174,6 +244,8 @@ def run_slam(
             "num_lines": int(sys_.map.ln_count),
             "num_loops": sys_.num_loops,
             "pt_overflow": int(sys_.map.pt_overflow),
+            "ln_overflow": int(sys_.map.ln_overflow),
+            "edge_overflow": int(sys_.edges.overflow),
         },
     )
 
@@ -229,26 +301,52 @@ def run_stereo(
     enable_loop: bool = True,
     enable_ba: bool = True,
     verbose: bool = True,
+    chunked: bool = False,
 ) -> RunResult:
     """Config 4 (BASELINE.json:10): stereo point+line SLAM, metric scale,
-    joint point+line window BA exercising the mixed 3/4-dof Schur reduction."""
+    joint point+line window BA exercising the mixed 3/4-dof Schur reduction.
+
+    chunked=True drives post-bootstrap pairs through the fused stereo chunk
+    program (deferred readbacks, one stereo keyframe per chunk) — the
+    throughput mode, same machinery as run_slam's (VERDICT r3 #4)."""
     from laneslam.eval.ate import ate_rmse
     from laneslam.runtime.prefetch import Prefetcher
     from laneslam.system import SlamSystem
 
     pairs, cam, gt, n, rect = _load_stereo_dataset(cfg)
-    pairs = Prefetcher(pairs, depth=2)  # P3 double-buffered host I/O
+    pairs = Prefetcher(pairs, depth=2, upload=not chunked)  # P3 double buffer
     sys_ = SlamSystem(cfg, cam, enable_loop=enable_loop, enable_ba=enable_ba,
                       stereo=True, rectify=rect)
+    sys_.defer_readback = chunked
 
     t_start = time.perf_counter()
     t_first = None
+    chunks_started = False
+    buf_l: list = []
+    buf_r: list = []
+    chunk = max(cfg.frontend.chunk_frames, 1)
     for i, (left, right) in enumerate(pairs):
-        sys_.process_frame(left, img_right=right)
+        if chunked and sys_.bootstrapped:
+            if not chunks_started:
+                chunks_started = True
+                sys_.resync()  # bootstrap read back scalars (hostsync.py)
+            buf_l.append(np.asarray(left))
+            buf_r.append(np.asarray(right))
+            if len(buf_l) >= chunk:
+                sys_.process_chunk(np.stack(buf_l), np.stack(buf_r))
+                buf_l, buf_r = [], []
+        else:
+            sys_.process_frame(left, img_right=right)
         if t_first is None:
             t_first = time.perf_counter()
         if verbose and i % 50 == 0 and i > 0:
-            print(f"[stereo] frame {i}/{n} {sys_.stats[-1] if sys_.stats else {}}")
+            msg = "(deferred)" if sys_._pending_chunks else (
+                f"{sys_.stats[-1] if sys_.stats else {}}"
+            )
+            print(f"[stereo] frame {i}/{n} {msg}")
+    if buf_l:
+        sys_.process_chunk(np.stack(buf_l), np.stack(buf_r))
+    sys_.flush_chunks()
     elapsed = time.perf_counter() - (t_first or t_start)
     fps = (n - 1) / max(elapsed, 1e-9)
 
@@ -290,7 +388,7 @@ def run_odometry(
     from laneslam.frontend.odometry import TwoViewOdometry
     from laneslam.runtime.prefetch import Prefetcher
 
-    frames, cam, gt, n = _load_dataset(cfg)
+    frames, cam, gt, n, _rect, _paths = _load_dataset(cfg)
     # P3 double-buffered host I/O; upload=False because the chunked scan
     # path stacks each chunk and uploads it as one block.
     frames = Prefetcher(frames, depth=2, upload=False)

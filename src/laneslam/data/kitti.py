@@ -89,6 +89,11 @@ class KittiOdometry:
             baseline=baseline,
         )
 
+    def frame_path(self, i: int) -> str:
+        """Path of frame i — lets the chunked feed batch-decode whole chunks
+        through the native thread pool (runtime/prefetch.ChunkPrefetcher)."""
+        return os.path.join(self.image_dir, self._frames[i])
+
     def read_frame(self, i: int) -> np.ndarray:
         return _imread_gray(os.path.join(self.image_dir, self._frames[i]))
 

@@ -196,29 +196,74 @@ def window_ids_covis(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.minimum(ids[order], K - 1), valid[order]
 
 
-def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray) -> BAProblem:
-    """Build a BAProblem over window keyframes + the global landmark arrays."""
+def _compact_landmarks(flat_ids, valid, cap_global, cap_local):
+    """Map a (S,) list of global landmark ids (with duplicates) to dense
+    window-local slots — the block-sparse compaction of VERDICT r3 #2.
+
+    The Schur reduction runs over the *local* block arrays (size = number
+    of observation slots, NOT the full map capacity), cutting the coupling
+    tensor B and the batched block inverses by the map/window occupancy
+    ratio (16384 global slots vs <= 4096 window slots at default config:
+    ~4x fewer blocks, ~8x less HBM traffic per LM iteration).
+
+    cap_local >= max distinct ids is guaranteed when cap_local == S (a
+    window cannot reference more distinct landmarks than it has observation
+    slots), so compaction never overflows. Returns
+    (local_idx (S,), local_valid (S,), l2g (cap_local,) with cap_global
+    marking unused slots).
+    """
+    S = flat_ids.shape[0]
+    order = jnp.arange(S, dtype=jnp.int32)
+    safe = jnp.where(valid, flat_ids, cap_global)
+    # First observation slot of each global id (scatter-min); later slots of
+    # the same id point at it.
+    first = jnp.full((cap_global + 1,), S, jnp.int32).at[safe].min(order)
+    is_first = valid & (first[jnp.clip(flat_ids, 0, cap_global)] == order)
+    loc = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # (S,) local id at firsts
+    g2l = (
+        jnp.full((cap_global,), -1, jnp.int32)
+        .at[jnp.where(is_first, flat_ids, cap_global + 1)]
+        .set(loc, mode="drop")
+    )
+    l2g = (
+        jnp.full((cap_local,), cap_global, jnp.int32)
+        .at[jnp.where(is_first, loc, cap_local + 1)]
+        .set(flat_ids, mode="drop")
+    )
+    local_idx = g2l[jnp.clip(flat_ids, 0, cap_global - 1)]
+    local_valid = valid & (local_idx >= 0)
+    return jnp.maximum(local_idx, 0), local_valid, l2g
+
+
+def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray):
+    """Build a BAProblem over window keyframes + COMPACTED window landmarks.
+
+    Landmark blocks are gathered into dense window-local arrays (see
+    _compact_landmarks) so H/B/Schur work scales with the window, not the
+    map capacity. Returns (problem, (pt_l2g, ln_l2g)); pass the tables to
+    scatter_window.
+    """
     W = ids.shape[0]
     Op = m.obs_pt_idx.shape[1]
     Ol = m.obs_ln_idx.shape[1]
+    P = m.pt_xyz.shape[0]
+    L = m.ln_plucker.shape[0]
     T_cw = se3.inverse(m.kf_T_wc[ids])
 
     pt_idx = m.obs_pt_idx[ids]  # (W, Op)
     pt_w = jnp.repeat(jnp.arange(W), Op)
-    pt_p = jnp.maximum(pt_idx.reshape(-1), 0)
-    pt_valid = (
-        (pt_idx.reshape(-1) >= 0)
-        & slot_valid[pt_w]
-        & m.pt_valid[pt_p]
-    )
+    flat_p = pt_idx.reshape(-1)
+    pt_valid = (flat_p >= 0) & slot_valid[pt_w] & m.pt_valid[jnp.maximum(flat_p, 0)]
+    NPL = min(W * Op, P)
+    pt_p, pt_valid, pt_l2g = _compact_landmarks(flat_p, pt_valid, P, NPL)
+
     ln_idx = m.obs_ln_idx[ids]
     ln_w = jnp.repeat(jnp.arange(W), Ol)
-    ln_l = jnp.maximum(ln_idx.reshape(-1), 0)
-    ln_valid = (
-        (ln_idx.reshape(-1) >= 0)
-        & slot_valid[ln_w]
-        & m.ln_valid[ln_l]
-    )
+    flat_l = ln_idx.reshape(-1)
+    ln_valid = (flat_l >= 0) & slot_valid[ln_w] & m.ln_valid[jnp.maximum(flat_l, 0)]
+    NLL = min(W * Ol, L)
+    ln_l, ln_valid, ln_l2g = _compact_landmarks(flat_l, ln_valid, L, NLL)
+
     # Landmarks anchored OUTSIDE the window are constants: keyframes not in
     # this window also constrain them, and moving them to fit only the
     # window's observations drags the rest of the map (measured: recomposed
@@ -229,31 +274,44 @@ def gather_window(m: MapState, ids: jnp.ndarray, slot_valid: jnp.ndarray) -> BAP
     in_window = jnp.zeros((K,), bool).at[
         jnp.where(slot_valid, ids, K + 1)
     ].set(True, mode="drop")
-    pt_free = in_window[jnp.clip(m.pt_anchor_kf, 0, K - 1)] & (m.pt_anchor_kf >= 0)
-    ln_free = in_window[jnp.clip(m.ln_anchor_kf, 0, K - 1)] & (m.ln_anchor_kf >= 0)
-    return BAProblem(
+    pt_free_g = in_window[jnp.clip(m.pt_anchor_kf, 0, K - 1)] & (m.pt_anchor_kf >= 0)
+    ln_free_g = in_window[jnp.clip(m.ln_anchor_kf, 0, K - 1)] & (m.ln_anchor_kf >= 0)
+    pt_used = pt_l2g < P
+    ln_used = ln_l2g < L
+    prob = BAProblem(
         T_cw=T_cw,
-        points=m.pt_xyz,
-        lines=m.ln_plucker,
+        points=m.pt_xyz[jnp.clip(pt_l2g, 0, P - 1)],
+        lines=m.ln_plucker[jnp.clip(ln_l2g, 0, L - 1)],
         pt_w=pt_w, pt_p=pt_p,
         pt_uv=m.obs_pt_uv[ids].reshape(-1, 2), pt_valid=pt_valid,
         ln_w=ln_w, ln_l=ln_l,
         ln_seg=m.obs_ln_seg[ids].reshape(-1, 4), ln_valid=ln_valid,
-        pt_free=pt_free, ln_free=ln_free,
+        pt_free=pt_free_g[jnp.clip(pt_l2g, 0, P - 1)] & pt_used,
+        ln_free=ln_free_g[jnp.clip(ln_l2g, 0, L - 1)] & ln_used,
     )
+    return prob, (pt_l2g, ln_l2g)
 
 
 def scatter_window(
-    m: MapState, problem: BAProblem, ids: jnp.ndarray, slot_valid: jnp.ndarray
+    m: MapState, problem: BAProblem, ids: jnp.ndarray, slot_valid: jnp.ndarray,
+    tables,
 ) -> MapState:
-    """Write optimized poses/landmarks back into the map."""
+    """Write optimized poses + compacted window landmarks back into the map."""
     K = m.kf_T_wc.shape[0]
+    P = m.pt_xyz.shape[0]
+    L = m.ln_plucker.shape[0]
+    pt_l2g, ln_l2g = tables
     T_wc = se3.inverse(problem.T_cw)
     w = jnp.where(slot_valid, ids, K + 1)
+    # Only FREE local slots write back (fixed landmarks received zero delta
+    # by construction, but masking keeps the contract explicit; unused local
+    # slots carry l2g == capacity and drop).
+    wp = jnp.where(problem.pt_free, pt_l2g, P + 1)
+    wl = jnp.where(problem.ln_free, ln_l2g, L + 1)
     return m._replace(
         kf_T_wc=m.kf_T_wc.at[w].set(T_wc, mode="drop"),
-        pt_xyz=problem.points,
-        ln_plucker=problem.lines,
+        pt_xyz=m.pt_xyz.at[wp].set(problem.points, mode="drop"),
+        ln_plucker=m.ln_plucker.at[wl].set(problem.lines, mode="drop"),
     )
 
 

@@ -49,12 +49,16 @@ def load_map_state(path: str):
     m = MapState(**{k: jnp.asarray(v) for k, v in payload["map"].items()})
     edges = None
     if "edges" in payload:
-        edges = EdgeStore(**{k: jnp.asarray(v) for k, v in payload["edges"].items()})
+        e = {k: jnp.asarray(v) for k, v in payload["edges"].items()}
+        e.setdefault("overflow", jnp.asarray(0, jnp.int32))  # pre-r4 checkpoints
+        edges = EdgeStore(**e)
     return m, edges, payload.get("extra", {})
 
 
 def save_system_state(path: str, system) -> None:
     """Checkpoint a running SlamSystem (map + edges + frontend state)."""
+    if getattr(system, "_pending_chunks", None):
+        system.flush_chunks()  # deferred outputs are part of the trajectory
     extra = {
         # RNG state: without it a restarted run draws different RANSAC
         # hypotheses than the uninterrupted one (§5.3 restart-equivalence).

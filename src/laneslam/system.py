@@ -49,9 +49,15 @@ from laneslam.map import ops
 # jit phases
 # --------------------------------------------------------------------------
 
-_METRICS_SCHEMA, _EMPTY_RING = metrics_init(
-    ("inliers", "tracked", "fallback", "keyframe"), capacity=256
-)
+_METRICS_NAMES = ("inliers", "tracked", "fallback", "keyframe")
+_METRICS_SCHEMA, _ = metrics_init(_METRICS_NAMES, capacity=256)
+
+
+def _fresh_ring() -> MetricsRing:
+    # Created per-system (not a module-level device array): device buffers
+    # die across a tunnel-client reset (runtime/hostsync.py), so no module
+    # global may hold one.
+    return metrics_init(_METRICS_NAMES, capacity=256)[1]
 
 
 @partial(jax.jit, static_argnames=("cfg", "cam"))
@@ -421,9 +427,9 @@ def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
         ids, slot_valid = ops.window_ids_covis(m, cfg.ba.window_size)
     else:
         ids, slot_valid = ops.window_ids(m, cfg.ba.window_size)
-    prob = ops.gather_window(m, ids, slot_valid)
+    prob, tables = ops.gather_window(m, ids, slot_valid)
     out, info = ba_solve(prob, cam, cfg.ba, num_fixed_poses=num_fixed)
-    m = ops.scatter_window(m, out, ids, slot_valid)
+    m = ops.scatter_window(m, out, ids, slot_valid, tables)
     return m, info.cost
 
 
@@ -435,6 +441,7 @@ class EdgeStore(NamedTuple):
     edge_T: jnp.ndarray  # (E, 4, 4)
     edge_weight: jnp.ndarray  # (E,)
     count: jnp.ndarray  # int32
+    overflow: jnp.ndarray  # int32: edges dropped because the table was full
 
     @staticmethod
     def empty(capacity: int) -> "EdgeStore":
@@ -444,6 +451,7 @@ class EdgeStore(NamedTuple):
             edge_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
             edge_weight=jnp.zeros((capacity,), jnp.float32),
             count=jnp.asarray(0, jnp.int32),
+            overflow=jnp.asarray(0, jnp.int32),
         )
 
 
@@ -451,16 +459,22 @@ class EdgeStore(NamedTuple):
 def _add_edge(es: EdgeStore, i, j, T, w, enabled=True):
     """Append an edge; `enabled=False` (traced) makes it a masked no-op
     (writes go out of bounds and are dropped) — the TPU-idiomatic
-    conditional for the fused chunk path."""
+    conditional for the fused chunk path.
+
+    A full table DROPS the edge and counts it in `overflow` (surfaced in
+    RunResult.diagnostics) — never a silent overwrite (SURVEY.md §7.3.2,
+    same contract as the landmark arena, runtime/arena.py)."""
     E = es.edge_i.shape[0]
     en = jnp.asarray(enabled)
-    at = jnp.where(en, jnp.minimum(es.count, E - 1), E + 1)
+    fits = es.count < E
+    at = jnp.where(en & fits, es.count, E + 1)
     return es._replace(
         edge_i=es.edge_i.at[at].set(i, mode="drop"),
         edge_j=es.edge_j.at[at].set(j, mode="drop"),
         edge_T=es.edge_T.at[at].set(T, mode="drop"),
         edge_weight=es.edge_weight.at[at].set(w, mode="drop"),
-        count=jnp.minimum(es.count + en.astype(jnp.int32), E),
+        count=es.count + (en & fits).astype(jnp.int32),
+        overflow=es.overflow + (en & ~fits).astype(jnp.int32),
     )
 
 
@@ -516,7 +530,9 @@ class SlamCarry(NamedTuple):
     key: jax.Array
 
 
-_SPAN_INIT = jnp.asarray(10**9, jnp.int32)
+# Plain int (becomes a traced constant at use sites): a module-level device
+# array would die across a tunnel-client reset (runtime/hostsync.py).
+_SPAN_INIT = 10**9
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -541,7 +557,7 @@ def _extract_chunk(imgs: jnp.ndarray, cfg: SlamConfig) -> FrameFeatures:
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "cam", "enable_ba", "enable_loop")
+    jax.jit, static_argnames=("cfg", "cam", "enable_ba", "enable_loop", "stereo")
 )
 def _slam_chunk(
     carry: SlamCarry,
@@ -551,9 +567,18 @@ def _slam_chunk(
     cam: Camera,
     enable_ba: bool = True,
     enable_loop: bool = True,
+    stereo: bool = False,
+    feats_right_last: Optional[FrameFeatures] = None,
 ):
-    """N monocular SLAM frames in ONE device dispatch (configs 2/3), at a
-    FIXED keyframe cadence of one keyframe per chunk.
+    """N SLAM frames in ONE device dispatch (configs 2/3/4), at a FIXED
+    keyframe cadence of one keyframe per chunk.
+
+    Stereo (config 4): tracking is identical (mono PnP against the metric
+    map); only the keyframe block differs — the chunk's LAST frame
+    stereo-matches against `feats_right_last` and births metric landmarks
+    (_make_keyframe_stereo). Right-image extraction therefore runs at
+    KEYFRAME cadence (1 per chunk), not frame cadence, and loop
+    verification fits SE(3) (no scale renormalization).
 
     Structure (the optimize/match loop never leaves HBM, BASELINE.json:5):
       1. lax.scan over the N frames: extract + track only. The map is a
@@ -610,10 +635,21 @@ def _slam_chunk(
 
     # ---- unconditional keyframe + backend block (once per chunk) ----
     key, k_loop = jax.random.split(key)
-    m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
-        m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
-        T_last, vocab, cfg, cam,
-    )
+    if stereo:
+        from laneslam.frontend.stereo import stereo_match
+
+        depths = stereo_match(
+            feats_last, feats_right_last, float(cam.fx), float(cam.baseline), cfg
+        )
+        m2, kf_id2, T_rel, n_p, n_l = _make_keyframe_stereo(
+            m, kf_id, feats_last, depths, lm_last, inl_last,
+            T_last, vocab, cfg, cam,
+        )
+    else:
+        m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
+            m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
+            T_last, vocab, cfg, cam,
+        )
     w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
     w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
     es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel, w)
@@ -628,24 +664,52 @@ def _slam_chunk(
     loop_stats = jnp.zeros((4,), f32)
     nloops = carry.num_loops
     if enable_loop:
+        from laneslam.loop.verify import empty_batched_result
+
         cand_ids, _sims = query_kfdb(
             m2.kf_agg_desc, m2.kf_valid, m2.kf_agg_desc[kf_id2],
             kf_id2, cfg.loop, covis_row=m2.covis[kf_id2],
         )
-        lr = verify_loops(
-            m2, kf_id2, cand_ids, k_loop, cfg.loop, with_scale=True, cam=cam,
+        # Chunk-level lax.cond (ONE cond per dispatch, after the frame scan
+        # — NOT the per-frame-scan cond measured pathological at the scan
+        # level): when retrieval returns no candidate above threshold, the
+        # whole verification stage is skipped at runtime, and when no
+        # candidate verifies, the scale/edge/PGO stage is skipped. The
+        # steady-state chunk therefore pays retrieval (one GEMV) only;
+        # verification + PGO cost lands exactly on the chunks that close a
+        # loop. (Round-3 ran verify+PGO unconditionally every chunk — both
+        # the throughput red flag of VERDICT r3 and the ADVICE r3 high bug:
+        # chain-only PGO converges to the odometry composition, silently
+        # overwriting window-BA pose refinements every chunk.)
+        lr = jax.lax.cond(
+            jnp.any(cand_ids >= 0),
+            lambda: verify_loops(
+                m2, kf_id2, cand_ids, k_loop, cfg.loop,
+                with_scale=not stereo, cam=cam,
+            ),
+            lambda: empty_batched_result(cand_ids.shape[0]),
         )
-        # Masked Sim(3) renormalization: s_eff == 1 is the identity map.
-        s_eff = jnp.where(
-            lr.accepted & (jnp.abs(lr.scale - 1.0) > 0.02), lr.scale, 1.0
-        )
-        m2, es2 = _apply_loop_scale(m2, es2, lr.best_cand, kf_id2, s_eff)
-        w_loop = jnp.clip(lr.num_inliers.astype(f32) / 12.0, 1.5, 6.0)
-        es2 = _add_edge(
-            es2, lr.best_cand, kf_id2, lr.T_rel, w_loop, enabled=lr.accepted
-        )
-        m2, _cost = _run_pgo(m2, es2, cfg)
-        nloops = nloops + lr.accepted.astype(jnp.int32)
+
+        def _close(ops_):
+            m_, es_ = ops_
+            if not stereo:
+                # Mono Sim(3) renormalization from the best-supported edge;
+                # s_eff == 1 is the identity map.
+                s_eff = jnp.where(jnp.abs(lr.scale - 1.0) > 0.02, lr.scale, 1.0)
+                m_, es_ = _apply_loop_scale(m_, es_, lr.best_cand, kf_id2, s_eff)
+            # EVERY verified candidate becomes a constraint (multi-pass
+            # intersections close against several old keyframes at once).
+            for c in range(lr.all_accepted.shape[0]):
+                w_c = jnp.clip(lr.all_inliers[c].astype(f32) / 12.0, 1.5, 6.0)
+                es_ = _add_edge(
+                    es_, lr.all_cand[c], kf_id2, lr.all_T_rel[c], w_c,
+                    enabled=lr.all_accepted[c],
+                )
+            m_, _cost = _run_pgo(m_, es_, cfg)
+            return m_, es_
+
+        m2, es2 = jax.lax.cond(lr.accepted, _close, lambda ops_: ops_, (m2, es2))
+        nloops = nloops + jnp.sum(lr.all_accepted).astype(jnp.int32)
         loop_stats = jnp.stack([
             lr.accepted.astype(f32), lr.best_cand.astype(f32),
             lr.num_inliers.astype(f32), lr.scale,
@@ -659,7 +723,8 @@ def _slam_chunk(
     c2 = SlamCarry(
         m=m2, es=es2, kf_feats=feats_last, T_cur=T_after, last_rel=last_rel,
         kf_id=kf_id2, frames_since_kf=jnp.asarray(0, jnp.int32),
-        span_min_inl=_SPAN_INIT, span_fallbacks=jnp.asarray(0, jnp.int32),
+        span_min_inl=jnp.asarray(_SPAN_INIT, jnp.int32),
+        span_fallbacks=jnp.asarray(0, jnp.int32),
         num_loops=nloops, ring=ring, key=key,
     )
     return c2, (packed, kf_stats)
@@ -723,8 +788,16 @@ class SlamSystem:
         self._span_min_inl = 10 ** 9
         self._span_fallbacks = 0
         self._kf_id_host = -1
-        self.metrics_ring = _EMPTY_RING
+        self.metrics_ring = _fresh_ring()
         self.rectify = rectify
+        # Deferred-readback chunk mode (runtime/hostsync.py): process_chunk
+        # keeps its outputs as opaque device arrays and the host bookkeeping
+        # is reconstructed in ONE transfer at flush_chunks() — the
+        # steady-state loop stays readback-free, which on the tunneled
+        # client is worth ~100x dispatch throughput.
+        self.defer_readback = False
+        self._pending_chunks: list = []  # (n_frames, packed, kf_stats, kf_after)
+        self._num_loops_dev = None  # device-side loop counter while deferring
 
     def _odom_weight(self) -> float:
         w = min(max(self._span_min_inl / 30.0, 0.15), 1.0)
@@ -756,6 +829,8 @@ class SlamSystem:
     def process_frame(
         self, img: np.ndarray, img_right: Optional[np.ndarray] = None
     ) -> np.ndarray:
+        if self._pending_chunks:
+            self.flush_chunks()  # keep pose/stat ordering with deferred chunks
         cfg, cam = self.cfg, self.cam
         feats = extract_features(jnp.asarray(img, jnp.float32), cfg)
         if self.rectify is not None:
@@ -953,11 +1028,14 @@ class SlamSystem:
                     with_scale=not self.stereo, cam=cam,
                 )
                 lr_arr = np.asarray(
-                    jnp.stack([
-                        lr.accepted.astype(jnp.float32),
-                        lr.best_cand.astype(jnp.float32),
-                        lr.num_inliers.astype(jnp.float32),
-                        lr.scale,
+                    jnp.concatenate([
+                        jnp.stack([
+                            lr.accepted.astype(jnp.float32),
+                            lr.best_cand.astype(jnp.float32),
+                            lr.num_inliers.astype(jnp.float32),
+                            lr.scale,
+                        ]),
+                        lr.all_accepted.astype(jnp.float32),
                     ])
                 )
                 if bool(lr_arr[0]):
@@ -967,18 +1045,24 @@ class SlamSystem:
                         self.map, self.edges = _apply_loop_scale(
                             self.map, self.edges, lr.best_cand, kf_id, lr.scale
                         )
-                    # Loop edge information scales with its verified support
-                    # (a 60-inlier pixel-refined edge is far more accurate
-                    # than a 12-inlier one); floor 1.5 keeps it above the
+                    # EVERY verified candidate becomes an edge (multi-pass
+                    # intersections close against several old keyframes).
+                    # Edge information scales with verified support (a
+                    # 60-inlier pixel-refined edge is far more accurate than
+                    # a 12-inlier one); floor 1.5 keeps loop edges above the
                     # odometry edges so closures actually correct.
-                    w_loop = jnp.clip(lr.num_inliers.astype(jnp.float32) / 12.0, 1.5, 6.0)
-                    self.edges = _add_edge(
-                        self.edges, lr.best_cand, kf_id, lr.T_rel, w_loop,
-                    )
+                    for c in range(int(lr.all_accepted.shape[0])):
+                        w_c = jnp.clip(
+                            lr.all_inliers[c].astype(jnp.float32) / 12.0, 1.5, 6.0
+                        )
+                        self.edges = _add_edge(
+                            self.edges, lr.all_cand[c], kf_id, lr.all_T_rel[c],
+                            w_c, enabled=lr.all_accepted[c],
+                        )
                     self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
                     self.T_cur = self.map.kf_T_wc[kf_id]
                     self.poses[-1] = np.asarray(self.T_cur, np.float32)
-                    self.num_loops += 1
+                    self.num_loops += int(lr_arr[4:].sum())
                     stat["loop"] = int(lr_arr[1])
                     stat["loop_inliers"] = int(lr_arr[2])
                     stat["loop_scale"] = float(lr_arr[3])
@@ -1000,14 +1084,27 @@ class SlamSystem:
         """One D->H transfer of the device metrics ring (SURVEY.md §5.5)."""
         return metrics_drain(_METRICS_SCHEMA, self.metrics_ring)
 
-    def process_chunk(self, imgs: np.ndarray) -> np.ndarray:
-        """N mono frames in ONE device dispatch (_slam_chunk): the whole
-        track/keyframe/BA/loop/PGO loop stays in HBM; the host gets one
-        packed (N, 45) readback. Requires a bootstrapped system (drive the
-        first frames through process_frame). Returns the (N, 4, 4) poses.
+    def process_chunk(
+        self, imgs: np.ndarray, imgs_right: Optional[np.ndarray] = None
+    ) -> Optional[np.ndarray]:
+        """N frames in ONE device dispatch (_slam_chunk): the whole
+        track/keyframe/BA/loop/PGO loop stays in HBM. Requires a
+        bootstrapped system (drive the first frames through process_frame).
+        Stereo systems (config 4) pass `imgs_right`; only the LAST right
+        frame is extracted (keyframes are per-chunk), so the stereo chunk
+        costs ~1 extra frame of extraction per chunk.
+
+        With self.defer_readback=False (default): one packed host readback
+        per chunk; returns the (N, 4, 4) poses. With defer_readback=True
+        (the throughput mode): NO readback happens — outputs stay on device
+        until flush_chunks() reconstructs all bookkeeping in one transfer —
+        and this returns None. On the tunneled TPU client a single readback
+        permanently degrades dispatch ~100x (runtime/hostsync.py), so the
+        deferred mode is how configs 2/3/4 hit production frame rates.
         """
         assert self.bootstrapped and self.kf_id is not None, "bootstrap first"
-        assert not self.stereo, "chunked path is mono (configs 2/3)"
+        if self.stereo:
+            assert imgs_right is not None and len(imgs_right) == len(imgs)
         n_real = len(imgs)
         chunk = max(self.cfg.frontend.chunk_frames, 1)
         if n_real % chunk != 0:
@@ -1020,10 +1117,19 @@ class SlamSystem:
             head = (n_real // chunk) * chunk
             out = []
             if head:
-                out.append(self.process_chunk(imgs[:head]))
-            for f in imgs[head:]:
-                out.append(self.process_frame(f)[None])
+                r = self.process_chunk(
+                    imgs[:head],
+                    None if imgs_right is None else imgs_right[:head],
+                )
+                if r is not None:
+                    out.append(r)
+            for k, f in enumerate(imgs[head:]):
+                fr = None if imgs_right is None else imgs_right[head + k]
+                out.append(self.process_frame(f, img_right=fr)[None])
             return np.concatenate(out) if out else np.zeros((0, 4, 4), np.float32)
+        nl = self._num_loops_dev
+        if nl is None:
+            nl = jnp.asarray(self.num_loops, jnp.int32)
         carry = SlamCarry(
             m=self.map, es=self.edges, kf_feats=self.kf_feats,
             T_cur=jnp.asarray(self.T_cur), last_rel=jnp.asarray(self._last_rel),
@@ -1031,7 +1137,7 @@ class SlamSystem:
             frames_since_kf=jnp.asarray(self.frames_since_kf, jnp.int32),
             span_min_inl=jnp.asarray(min(self._span_min_inl, 10**9), jnp.int32),
             span_fallbacks=jnp.asarray(self._span_fallbacks, jnp.int32),
-            num_loops=jnp.asarray(self.num_loops, jnp.int32),
+            num_loops=nl,
             ring=self.metrics_ring, key=self.key,
         )
         feats_chunk = _extract_chunk(jnp.asarray(imgs, jnp.float32), self.cfg)
@@ -1039,26 +1145,53 @@ class SlamSystem:
             feats_chunk = jax.vmap(lambda f: _rectify_feats(f, self.rectify[0]))(
                 feats_chunk
             )
+        feats_r_last = None
+        if self.stereo:
+            feats_r_last = extract_features(
+                jnp.asarray(imgs_right[-1], jnp.float32), self.cfg
+            )
+            if self.rectify is not None:
+                feats_r_last = _rectify_feats(feats_r_last, self.rectify[1])
         carry, (packed, kf_stats) = _slam_chunk(
             carry, feats_chunk, self._vocab,
             self.cfg, self.cam, self.enable_ba, self.enable_loop,
+            self.stereo, feats_r_last,
         )
-        # ONE bundled host<-device sync for the whole chunk.
-        arr, ks = np.asarray(packed), np.asarray(kf_stats)
+        # Adopt the new device state — plain handle swaps, no readback.
         self.map, self.edges = carry.m, carry.es
         self.kf_feats = carry.kf_feats
         self.T_cur = carry.T_cur
         self._last_rel = carry.last_rel
         self.kf_id = carry.kf_id
-        self._kf_id_host = int(ks[16])
         self.frames_since_kf = 0
         self._span_min_inl = 10 ** 9
         self._span_fallbacks = 0
-        self.num_loops = int(carry.num_loops)
         self.metrics_ring = carry.ring
         self.key = carry.key
+        self._num_loops_dev = carry.num_loops
+        # Fixed cadence: the chunk program inserts exactly one keyframe, so
+        # the host keyframe-id mirror advances deterministically — no sync.
+        K = self.map.kf_T_wc.shape[0]
+        self._kf_id_host = min(self._kf_id_host + 1, K - 1)
 
-        kf_before = self._kf_id_host - 1  # chunk-start keyframe id
+        if self.defer_readback:
+            self._pending_chunks.append((n_real, packed, kf_stats, self._kf_id_host))
+            self._maybe_sync()
+            return None
+
+        # ONE bundled host<-device sync for the whole chunk.
+        arr, ks = np.asarray(packed), np.asarray(kf_stats)
+        self.num_loops = int(carry.num_loops)
+        self._num_loops_dev = None
+        poses = self._ingest_chunk_outputs(arr, ks, self._kf_id_host)
+        self._maybe_sync()
+        return poses
+
+    def _ingest_chunk_outputs(
+        self, arr: np.ndarray, ks: np.ndarray, kf_after: int
+    ) -> np.ndarray:
+        """Host bookkeeping for one chunk's (packed, kf_stats) readback."""
+        kf_before = kf_after - 1  # chunk-start keyframe id
         poses = arr[:, :16].reshape(-1, 4, 4).astype(np.float32)
         poses[-1] = ks[:16].reshape(4, 4).astype(np.float32)  # refined
         for f, (r, pose) in enumerate(zip(arr, poses)):
@@ -1077,20 +1210,80 @@ class SlamSystem:
                     stat["loop"] = int(ks[22])
                     stat["loop_inliers"] = int(ks[23])
                     stat["loop_scale"] = float(ks[24])
-                self.frame_refs.append(
-                    (self._kf_id_host, np.eye(4, dtype=np.float32))
-                )
+                self.frame_refs.append((kf_after, np.eye(4, dtype=np.float32)))
             else:
                 self.frame_refs.append(
                     (kf_before, r[16:32].reshape(4, 4).astype(np.float32))
                 )
             self.stats.append(stat)
-        self._maybe_sync()
         return poses
+
+    def flush_chunks(self) -> None:
+        """Read back every deferred chunk's outputs in ONE bundled D->H
+        transfer and reconstruct poses/stats/frame_refs. This IS a host
+        readback: on the tunneled client, call resync() afterwards if more
+        chunks will be processed (runtime/hostsync.py)."""
+        if not self._pending_chunks:
+            if self._num_loops_dev is not None:
+                self.num_loops = int(np.asarray(self._num_loops_dev))
+                self._num_loops_dev = None
+            return
+        pend = self._pending_chunks
+        self._pending_chunks = []
+        nl = self._num_loops_dev
+        if nl is None:
+            nl = jnp.asarray(self.num_loops, jnp.int32)
+        # One flat device concat -> one transfer (each D->H pays a ~50-100 ms
+        # fixed tunnel cost, so per-chunk reads would dominate).
+        flat = jnp.concatenate(
+            [p.reshape(-1) for _, p, _, _ in pend]
+            + [k.reshape(-1) for _, _, k, _ in pend]
+            + [nl.astype(jnp.float32)[None]]
+        )
+        host = np.asarray(flat)
+        off = 0
+        arrs = []
+        for n, p, _, _ in pend:
+            sz = int(np.prod(p.shape))
+            arrs.append(host[off: off + sz].reshape(p.shape))
+            off += sz
+        kss = []
+        for _, _, k, _ in pend:
+            sz = int(np.prod(k.shape))
+            kss.append(host[off: off + sz].reshape(k.shape))
+            off += sz
+        self.num_loops = int(host[off])
+        self._num_loops_dev = None
+        for (n, _, _, kf_after), arr, ks in zip(pend, arrs, kss):
+            self._ingest_chunk_outputs(arr, ks, kf_after)
+
+    def resync(self) -> None:
+        """Re-establish pipelined dispatch after a host readback on the
+        tunneled client: flush pending outputs, round-trip all device state
+        across a client reset (runtime/hostsync.py), and re-upload. No-op
+        on non-tunneled backends. Call once after the per-frame bootstrap
+        phase (which reads back scalars every frame) before entering the
+        readback-free chunk loop."""
+        from laneslam.runtime import hostsync
+
+        if not hostsync.is_tunneled():
+            return
+        self.flush_chunks()
+        state = (
+            self.map, self.edges, self.kf_feats, self.T_cur, self._last_rel,
+            self.kf_id, self.metrics_ring, self.key, self._vocab,
+        )
+        host = jax.device_get(state)
+        hostsync.reset_client(retain_executables=True)
+        (
+            self.map, self.edges, self.kf_feats, self.T_cur, self._last_rel,
+            self.kf_id, self.metrics_ring, self.key, self._vocab,
+        ) = jax.device_put(host)
 
     def trajectory(self) -> np.ndarray:
         """Full per-frame trajectory recomposed against FINAL keyframe poses
         (so loop-closure corrections propagate to all past frames)."""
+        self.flush_chunks()
         kf_poses = np.asarray(self.map.kf_T_wc)
         out = []
         for (kf, rel), raw in zip(self.frame_refs, self.poses):
@@ -1098,6 +1291,7 @@ class SlamSystem:
         return np.stack(out)
 
     def raw_trajectory(self) -> np.ndarray:
+        self.flush_chunks()
         return np.stack(self.poses)
 
     def keyframe_trajectory(self) -> np.ndarray:

@@ -26,7 +26,7 @@ def test_long_sequence_capacity_pressure(monkeypatch):
     def load(cfg, skip=0):
         return (
             (render_scene_frame(scene, i) for i in range(skip, n)),
-            scene.cam, scene.poses_wc, n,
+            scene.cam, scene.poses_wc, n, None, None,
         )
 
     monkeypatch.setattr(api_mod, "_load_dataset", load)
@@ -45,6 +45,9 @@ def test_long_sequence_capacity_pressure(monkeypatch):
 
     # 1. No silent landmark drops: culling + arena reuse must keep overflow 0.
     assert d["pt_overflow"] == 0, f"overflow {d['pt_overflow']}"
+    # 1b. No silent pose-graph edge drops either (SURVEY §7.3.2): the edge
+    #     table is sized 4x keyframe capacity, so a healthy run never fills it.
+    assert d["edge_overflow"] == 0, f"edge overflow {d['edge_overflow']}"
     # 2. Culling keeps the live count under the pressure ceiling (+ one
     #    keyframe's worth of head-room between cull passes).
     assert d["num_points"] < 0.7 * 3072 + 600, d["num_points"]

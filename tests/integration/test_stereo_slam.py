@@ -23,6 +23,22 @@ def test_synthetic_stereo_slam():
 
 
 @pytest.mark.slow
+def test_synthetic_stereo_slam_chunked():
+    """Config-4 fused chunk path (VERDICT r3 #4): the stereo keyframe +
+    mixed 3/4-dof Schur BA run inside the chunk program; ATE must stay in
+    the same regime as the per-frame path (the fixed keyframe cadence makes
+    it not bit-identical)."""
+    cfg = SlamConfig(data=DataConfig(dataset="synthetic", max_frames=18, stereo=True))
+    res = run_stereo(cfg, enable_loop=False, verbose=False, chunked=True)
+    assert res.ate_rmse is not None
+    assert res.ate_rmse < 0.12, f"chunked stereo ATE {res.ate_rmse}"
+    assert res.diagnostics["num_points"] > 100
+    import numpy as np
+
+    assert np.all(np.isfinite(res.poses))
+
+
+@pytest.mark.slow
 def test_stereo_loop_closure_fires():
     """Loop scene: retrieval -> batched guided verification -> PGO fires
     end-to-end (the round-2 blocker), with well-supported edges."""
