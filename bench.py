@@ -71,8 +71,8 @@ def main() -> int:
     fps = sorted(run_loop(400) for _ in range(3))[1]
 
     # Second headline (VERDICT r2 #2): FULL SLAM loop frames/s — tracking +
-    # keyframing + window BA + loop retrieval/verification on the synthetic
-    # corridor, through SlamSystem.process_frame (configs 2/3 path).
+    # keyframing + window BA + cond-gated loop/PGO on the synthetic
+    # corridor, through the readback-free chunked path (configs 2/3).
     slam_fps = _bench_slam(cfg, cam)
 
     print(
@@ -86,11 +86,35 @@ def main() -> int:
                     "slam_frames_per_sec_per_chip": round(slam_fps, 3),
                     "slam_unit": "frames/s (full track+BA+loop SlamSystem loop)",
                     "slam_vs_baseline": round(slam_fps / 15.0, 3),
+                    "scaling": _bench_scaling(),
                 },
             }
         )
     )
     return 0
+
+
+def _bench_scaling():
+    """Fake-mesh weak-scaling proxy (VERDICT r3 #8): subprocess with
+    JAX_PLATFORMS=cpu + 8 virtual devices (can't coexist with the TPU
+    backend in this process). Returns the parsed JSON or None on failure."""
+    import subprocess
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "benchmarks", "bench_scaling.py")],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        for line in reversed(out.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                return json.loads(line)
+    except (subprocess.SubprocessError, ValueError, OSError):
+        pass
+    return None
 
 
 def _bench_slam(cfg, cam) -> float:

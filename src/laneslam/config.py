@@ -152,6 +152,15 @@ class LoopConfig:
     # accepted scale must stay inside these bounds (stereo fits SE(3)).
     min_scale: float = 0.5
     max_scale: float = 2.0
+    # Drift-consistency gate (round 4): the correction a loop edge implies
+    # (edge vs current pose estimate) must be commensurate with the drift
+    # accumulable over the traversed arc — marginal wall-slide false
+    # consensus implies corrections far beyond any plausible drift rate
+    # (measured: true closures correct ~4% of arc; the gate passes anything
+    # under max(frac * arc, floor)).
+    max_correction_frac: float = 0.3
+    max_correction_m: float = 1.0
+    max_correction_deg: float = 35.0
 
 
 @dataclass(frozen=True)

@@ -104,12 +104,15 @@ def make_loop_scene(
     cam: Camera | None = None,
     radius: float = 2.0,
     room: float = 12.0,
+    laps: float = 1.0,
 ) -> SyntheticScene:
     """A room scene with a closed-loop trajectory (exercises loop closure).
 
     Four textured walls of a square room (side 2*room); the camera circles
     inside (radius `radius`) looking outward and returns to its start pose
-    on the final frames.
+    on the final frames. `laps` > 1 circles multiple times — every revisit
+    of the first lap's keyframes is a loop-closure opportunity (the
+    full-scale rehearsal uses this for repeated closures).
     """
     rng = np.random.default_rng(seed)
     cam = cam or Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, width=640, height=480)
@@ -143,7 +146,7 @@ def make_loop_scene(
 
     poses = []
     for f in range(num_frames):
-        th = 2.0 * np.pi * f / (num_frames - 3)  # returns to start before the end
+        th = 2.0 * np.pi * laps * f / (num_frames - 3)  # closes before the end
         pos = np.array([radius * np.sin(th), 0.0, -radius * np.cos(th)], dtype=np.float32)
         yaw = th  # camera z-axis looks outward (away from room center)
         c, s = np.cos(yaw), np.sin(yaw)

@@ -203,8 +203,28 @@ def _verify_one(
         T_rel = jnp.where(good, T_px, T_rel)
         num = jnp.where(good, jnp.sum(inl_px), num)
 
+    # --- drift-consistency gate: the correction this edge implies against
+    # the current pose estimate must be commensurate with drift accumulable
+    # over the traversed arc. Wall-slide false consensus (the planar-scene
+    # failure mode of stage 2) survives pixel refinement with marginal
+    # support but implies corrections far beyond any plausible drift rate;
+    # true closures measured ~4% of arc (round 4).
+    t_all = m.kf_T_wc[:, :3, 3]
+    dseg = jnp.linalg.norm(jnp.diff(t_all, axis=0), axis=-1)  # (K-1,)
+    kk = jnp.arange(dseg.shape[0])
+    arc = jnp.sum(jnp.where((kk >= kf_cand) & (kk < kf_cur), dseg, 0.0))
+    T_est = se3.inverse(m.kf_T_wc[kf_cand]) @ m.kf_T_wc[kf_cur]
+    D = se3.inverse(T_est) @ T_rel
+    corr_t = jnp.linalg.norm(D[:3, 3])
+    cos_r = jnp.clip((jnp.trace(D[:3, :3]) - 1.0) * 0.5, -1.0, 1.0)
+    corr_deg = jnp.rad2deg(jnp.arccos(cos_r))
+    consistent = (
+        (corr_t <= jnp.maximum(cfg.max_correction_frac * arc, cfg.max_correction_m))
+        & (corr_deg <= cfg.max_correction_deg)
+    )
+
     return LoopResult(
-        accepted=(num >= cfg.min_inliers) & ok_m[best],
+        accepted=(num >= cfg.min_inliers) & ok_m[best] & consistent,
         T_rel=T_rel,
         num_inliers=num,
         scale=s_rel,

@@ -652,7 +652,6 @@ def _slam_chunk(
         )
     w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
     w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
-    es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel, w)
     m2, _cp, _cl = ops.cull_landmarks(
         m2, min_obs=cfg.map.cull_min_obs, min_age_kf=cfg.map.cull_min_age_kf,
         pressure=cfg.map.cull_pressure,
@@ -661,6 +660,13 @@ def _slam_chunk(
     if enable_ba:
         m2, ba_cost = _window_ba(m2, cfg, cam)
         ba_stats = jnp.stack([ba_cost[0], ba_cost[-1]])
+    # Odometry edge measured from the POST-BA keyframe poses: the tracked
+    # (pre-BA) relative pose drifts meters over a 10-frame span, and a pose
+    # graph built from stale measurements caps what ANY loop closure can
+    # recover (measured round 4: with pre-BA chain edges, even a ground-
+    # truth loop edge improved the 150-frame loop fixture's ATE by only 9%).
+    T_rel_post = se3.inverse(m2.kf_T_wc[kf_id]) @ m2.kf_T_wc[kf_id2]
+    es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel_post, w)
     loop_stats = jnp.zeros((4,), f32)
     nloops = carry.num_loops
     if enable_loop:
@@ -978,10 +984,7 @@ class SlamSystem:
                     self.map, self.kf_id, self.kf_feats, feats, cur_lm, inl_mask,
                     T_wc, self._vocab, cfg, cam,
                 )
-            self.edges = _add_edge(
-                self.edges, self.kf_id, kf_id, T_rel,
-                jnp.asarray(self._odom_weight(), jnp.float32),
-            )
+            kf_prev = self.kf_id  # odometry edge added post-BA (see below)
             self.map = m
             self.kf_id = kf_id
             self.kf_feats = feats
@@ -1013,6 +1016,18 @@ class SlamSystem:
                 self.poses[-1] = ba_arr[2:18].reshape(4, 4).astype(np.float32)
                 stat["ba_cost0"] = float(ba_arr[0])
                 stat["ba_costN"] = float(ba_arr[1])
+
+            # Odometry edge measured from the POST-BA keyframe poses (the
+            # chunk path does the same): pre-BA tracked relatives drift
+            # meters over a span and poison the pose graph — measured round
+            # 4 on the 150-frame loop fixture, chain edges carried up to
+            # 1.9 m error vs GT and even a ground-truth loop edge then
+            # improved ATE by only 9%.
+            self.edges = _add_edge(
+                self.edges, kf_prev, kf_id,
+                se3.inverse(self.map.kf_T_wc[kf_prev]) @ self.map.kf_T_wc[kf_id],
+                jnp.asarray(self._odom_weight(), jnp.float32),
+            )
 
             if self.enable_loop:
                 cand_ids, sims = query_kfdb(
