@@ -31,6 +31,10 @@ def main() -> int:
     ap.add_argument("--laps", type=float, default=4.0)
     ap.add_argument("--chunk", type=int, default=10,
                     help="frames per keyframe/dispatch (10 -> 450 KFs at 4500)")
+    ap.add_argument("--scene", default="loop", choices=("loop", "corridor"),
+                    help="loop = multi-lap room (loop closures); corridor = "
+                         "KITTI-like forward motion (landmark-capacity "
+                         "pressure: ~45k landmarks born vs 16k capacity)")
     ap.add_argument("--backend", default="")
     args = ap.parse_args()
 
@@ -44,7 +48,9 @@ def main() -> int:
     import numpy as np
 
     from laneslam.config import SlamConfig
-    from laneslam.data.synthetic import make_loop_scene, render_scene_frame
+    from laneslam.data.synthetic import (
+        make_corridor_scene, make_loop_scene, render_scene_frame,
+    )
     from laneslam.eval.ate import ate_rmse
     from laneslam.geometry.camera import Camera
     from laneslam.system import SlamSystem
@@ -56,10 +62,19 @@ def main() -> int:
             cfg.frontend, chunk_frames=args.chunk, kf_max_interval=args.chunk
         )
     )
-    scene = make_loop_scene(
-        seed=0, num_frames=n, radius=6.0, room=18.0,
-        num_points=2400, num_lines=420, laps=args.laps,
-    )
+    if args.scene == "corridor":
+        # Landmark density ~ num_points * (visible span / corridor length);
+        # scaled so ~200 landmarks are visible per frame, which makes the
+        # total born far exceed capacity — the arena/culling pressure test
+        # at production scale (SURVEY §7.3.8).
+        scene = make_corridor_scene(
+            seed=0, num_frames=n, num_points=14000, num_lines=2200,
+        )
+    else:
+        scene = make_loop_scene(
+            seed=0, num_frames=n, radius=6.0, room=18.0,
+            num_points=2400, num_lines=420, laps=args.laps,
+        )
     cam = Camera(
         fx=float(scene.cam.fx), fy=float(scene.cam.fy),
         cx=float(scene.cam.cx), cy=float(scene.cam.cy),
