@@ -36,6 +36,8 @@ def main() -> int:
                          "KITTI-like forward motion (landmark-capacity "
                          "pressure: ~45k landmarks born vs 16k capacity)")
     ap.add_argument("--backend", default="")
+    ap.add_argument("--global-ba", action="store_true", dest="global_ba",
+                    help="final full-map BA refinement (SlamSystem.global_ba)")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -118,6 +120,15 @@ def main() -> int:
     traj = sys_.trajectory()
     gt = scene.poses_wc[: len(traj)]
     ate, _ = ate_rmse(jnp.asarray(traj), jnp.asarray(gt), align_scale=True)
+    ate_gba = float("nan")
+    t_gba = 0.0
+    if args.global_ba:
+        t0 = time.perf_counter()
+        sys_.global_ba()
+        t_gba = time.perf_counter() - t0
+        ate_gba, _ = ate_rmse(
+            jnp.asarray(sys_.trajectory()), jnp.asarray(gt), align_scale=True
+        )
     result = {
         "frames": n,
         "laps": args.laps,
@@ -126,6 +137,8 @@ def main() -> int:
         "lines": int(sys_.map.ln_count),
         "loops": int(sys_.num_loops),
         "ate_rmse_sim3": round(float(ate), 4),
+        "ate_rmse_sim3_after_global_ba": round(float(ate_gba), 4),
+        "global_ba_s": round(t_gba, 2),
         "steady_fps": round(fps, 1),
         "pt_overflow": int(sys_.map.pt_overflow),
         "ln_overflow": int(sys_.map.ln_overflow),

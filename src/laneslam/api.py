@@ -85,9 +85,15 @@ def run_slam(
     checkpoint_every: int = 0,
     resume: bool = False,
     chunked: bool = False,
+    final_global_ba: bool = False,
 ) -> RunResult:
     """Configs 2/3 (BASELINE.json:8-9): keyframe SLAM with sliding-window
     point+line BA, device-resident covisibility/KF-DB, loop closure + PGO.
+
+    final_global_ba=True runs one full-map BA over all keyframes after the
+    sequence (SlamSystem.global_ba) — the post-loop-closure refinement that
+    removes the drift shared by revisited passes, which pose-graph edges
+    alone cannot (they only lock the passes together).
 
     checkpoint_every > 0 writes the full system pytree to `checkpoint_path`
     every that many frames (SURVEY.md §5.4); `resume` restores it and
@@ -214,6 +220,8 @@ def run_slam(
             sys_.process_chunk(np.stack(buf))
         sys_.flush_chunks()
     elapsed = time.perf_counter() - (t_first or t_start)
+    if final_global_ba and enable_ba:
+        sys_.global_ba()
     # fps over frames processed THIS run (resume skips `start` frames), and
     # excluding the first frame's jit compile (t_first starts after it).
     fps = max(n_done - 1, 1) / max(elapsed, 1e-9)
@@ -302,6 +310,7 @@ def run_stereo(
     enable_ba: bool = True,
     verbose: bool = True,
     chunked: bool = False,
+    final_global_ba: bool = False,
 ) -> RunResult:
     """Config 4 (BASELINE.json:10): stereo point+line SLAM, metric scale,
     joint point+line window BA exercising the mixed 3/4-dof Schur reduction.
@@ -349,6 +358,8 @@ def run_stereo(
     sys_.flush_chunks()
     elapsed = time.perf_counter() - (t_first or t_start)
     fps = (n - 1) / max(elapsed, 1e-9)
+    if final_global_ba and enable_ba:
+        sys_.global_ba()
 
     poses = sys_.trajectory()
     ate = None

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from laneslam.config import PgoConfig
-from laneslam.geometry import se3
+from laneslam.geometry import se3, sim3
 
 
 class PgoProblem(NamedTuple):
@@ -157,6 +157,156 @@ def pgo_solve(
     T_out, costs = jax.lax.scan(gn_step, problem.T_wc, None, length=cfg.gn_iters)
     out = problem._replace(T_wc=T_out)
     r, _, _ = _edge_linearize(out)
+    w = (
+        _huber_w(r, cfg.huber)
+        * problem.edge_weight
+        * problem.node_valid[problem.edge_i]
+        * problem.node_valid[problem.edge_j]
+    )
+    final = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+    return out, PgoInfo(cost=jnp.concatenate([costs, final[None]]))
+
+
+class PgoSim3Problem(NamedTuple):
+    """Sim(3) pose graph (Strasdat RSS 2010 / ORB-SLAM essential graph).
+
+    Mono odometry accumulates SCALE drift that SE(3) edges cannot express:
+    when a loop closes with an observed relative scale s != 1, an SE(3)
+    graph must absorb the error into translations, while a Sim(3) graph
+    distributes log-scale smoothly along the chain. Odometry edges carry
+    edge_s = 1 (locally scale-consistent); loop edges carry the scale from
+    Sim(3) verification (loop/verify.py)."""
+
+    T_wc: jnp.ndarray  # (N, 4, 4) node poses (R | t)
+    s_wc: jnp.ndarray  # (N,) node scales
+    node_valid: jnp.ndarray  # (N,) bool
+    edge_i: jnp.ndarray  # (E,) int32
+    edge_j: jnp.ndarray
+    edge_T: jnp.ndarray  # (E, 4, 4) measured relative R | t
+    edge_s: jnp.ndarray  # (E,) measured relative scale
+    edge_weight: jnp.ndarray  # (E,) 0 = invalid slot
+
+
+def _edge_linearize_sim3(problem: PgoSim3Problem):
+    """Residuals + Jacobians per edge slot: r (E, 7), Ji/Jj (E, 7, 7)."""
+    Ti = problem.T_wc[problem.edge_i]
+    si = problem.s_wc[problem.edge_i]
+    Tj = problem.T_wc[problem.edge_j]
+    sj = problem.s_wc[problem.edge_j]
+    Sm_inv = sim3.inverse((problem.edge_T, problem.edge_s))
+
+    def res(Ti_, si_, Tj_, sj_, Tm_, sm_, xi, xj):
+        Si = sim3.retract((Ti_, si_), xi)
+        Sj = sim3.retract((Tj_, sj_), xj)
+        A = sim3.compose((Tm_, sm_), sim3.compose(sim3.inverse(Si), Sj))
+        return sim3.log(A)
+
+    z = jnp.zeros(7, problem.T_wc.dtype)
+    r = jax.vmap(lambda a, b, c, d, e, f: res(a, b, c, d, e, f, z, z))(
+        Ti, si, Tj, sj, *Sm_inv
+    )
+    Ji, Jj = jax.vmap(
+        lambda a, b, c, d, e, f: jax.jacfwd(
+            lambda xi, xj: res(a, b, c, d, e, f, xi, xj), (0, 1)
+        )(z, z)
+    )(Ti, si, Tj, sj, *Sm_inv)
+    return r, Ji, Jj
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_fixed", "cg_iters"))
+def pgo_solve_sim3(
+    problem: PgoSim3Problem,
+    cfg: PgoConfig = PgoConfig(),
+    num_fixed: int = 1,
+    cg_iters: int = 50,
+) -> Tuple[PgoSim3Problem, PgoInfo]:
+    """Sim(3) GN + Jacobi-PCG, same matrix-free structure as pgo_solve but
+    with 7-dof node blocks. The first `num_fixed` nodes pin both gauge AND
+    global scale (Sim(3) has a 7-dim gauge group)."""
+    N = problem.T_wc.shape[0]
+    dtype = problem.T_wc.dtype
+    free = (
+        (jnp.arange(N) >= num_fixed) & problem.node_valid
+    ).astype(dtype)[:, None]  # (N, 1)
+
+    def pack(T, s):
+        return T, s
+
+    def gn_step(state, _):
+        T_wc, s_wc = state
+        prob = problem._replace(T_wc=T_wc, s_wc=s_wc)
+        r, Ji, Jj = _edge_linearize_sim3(prob)
+        w = (
+            _huber_w(r, cfg.huber)
+            * problem.edge_weight
+            * problem.node_valid[problem.edge_i]
+            * problem.node_valid[problem.edge_j]
+        )
+        live = (w > 0)[:, None, None]
+        r = jnp.where(live[..., 0], jnp.nan_to_num(r), 0.0)
+        Ji = jnp.where(live, jnp.nan_to_num(Ji), 0.0)
+        Jj = jnp.where(live, jnp.nan_to_num(Jj), 0.0)
+        cost = 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+        gi = jnp.einsum("eab,ea->eb", Ji * w[:, None, None], r)
+        gj = jnp.einsum("eab,ea->eb", Jj * w[:, None, None], r)
+        g = (
+            jnp.zeros((N, 7), dtype)
+            .at[problem.edge_i].add(gi)
+            .at[problem.edge_j].add(gj)
+        ) * free
+
+        di = jnp.einsum("eab,eab->eb", Ji * w[:, None, None], Ji)
+        dj = jnp.einsum("eab,eab->eb", Jj * w[:, None, None], Jj)
+        diag = (
+            jnp.zeros((N, 7), dtype)
+            .at[problem.edge_i].add(di)
+            .at[problem.edge_j].add(dj)
+            + cfg.damping
+        )
+        Minv = jnp.where(free > 0, 1.0 / jnp.maximum(diag, 1e-12), 0.0)
+
+        def hvp(x):
+            x = x * free
+            yi = jnp.einsum("eab,eb->ea", Ji, x[problem.edge_i])
+            yj = jnp.einsum("eab,eb->ea", Jj, x[problem.edge_j])
+            y = (yi + yj) * w[:, None]
+            out = (
+                jnp.zeros((N, 7), dtype)
+                .at[problem.edge_i].add(jnp.einsum("eab,ea->eb", Ji, y))
+                .at[problem.edge_j].add(jnp.einsum("eab,ea->eb", Jj, y))
+            )
+            return (out + cfg.damping * x) * free
+
+        b = -g
+
+        def cg_body(carry, _):
+            x, rr, p, rz = carry
+            Hp = hvp(p)
+            alpha = rz / jnp.maximum(jnp.sum(p * Hp), 1e-20)
+            x = x + alpha * p
+            rr = rr - alpha * Hp
+            z = Minv * rr
+            rz_new = jnp.sum(rr * z)
+            beta = rz_new / jnp.maximum(rz, 1e-20)
+            p = z + beta * p
+            return (x, rr, p, rz_new), None
+
+        r0 = b
+        z0 = Minv * r0
+        (delta, _, _, _), _ = jax.lax.scan(
+            cg_body, (jnp.zeros((N, 7), dtype), r0, z0, jnp.sum(r0 * z0)),
+            None, length=cg_iters,
+        )
+        delta = delta * free
+        T_new, s_new = sim3.retract((T_wc, s_wc), delta)
+        return pack(T_new, s_new), cost
+
+    (T_out, s_out), costs = jax.lax.scan(
+        gn_step, pack(problem.T_wc, problem.s_wc), None, length=cfg.gn_iters
+    )
+    out = problem._replace(T_wc=T_out, s_wc=s_out)
+    r, _, _ = _edge_linearize_sim3(out)
     w = (
         _huber_w(r, cfg.huber)
         * problem.edge_weight
