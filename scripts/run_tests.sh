@@ -13,5 +13,16 @@ set -e
 cd "$(dirname "$0")/.."
 python -m pytest tests/unit tests/backend tests/kernels tests/golden "$@"
 python -m pytest tests/dist "$@"
-python -m pytest tests/integration "$@"
+# The fused chunk program (system._slam_chunk, mono + stereo variants) is
+# the largest compile in the suite; one process per chunk-heavy file keeps
+# the XLA CPU compiler far from its crash regime (observed round 4: the
+# whole-integration process segfaulted in backend_compile after ~40 min
+# under CPU contention).
+python -m pytest tests/integration \
+  --ignore=tests/integration/test_chunk_parity.py \
+  --ignore=tests/integration/test_kitti_chunked.py \
+  --ignore=tests/integration/test_stereo_slam.py "$@"
+python -m pytest tests/integration/test_chunk_parity.py \
+  tests/integration/test_kitti_chunked.py "$@"
+python -m pytest tests/integration/test_stereo_slam.py "$@"
 echo "ALL PARTITIONS GREEN"

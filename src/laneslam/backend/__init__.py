@@ -2,4 +2,6 @@
 optimization, formulated as batched XLA programs (BASELINE.json:5)."""
 
 from laneslam.backend.ba import BAProblem, ba_solve
-from laneslam.backend.pgo import PgoProblem, pgo_solve
+from laneslam.backend.pgo import (
+    PgoProblem, PgoSim3Problem, pgo_solve, pgo_solve_sim3,
+)
