@@ -73,7 +73,10 @@ def main() -> int:
     # Second headline (VERDICT r2 #2): FULL SLAM loop frames/s — tracking +
     # keyframing + window BA + cond-gated loop/PGO on the synthetic
     # corridor, through the readback-free chunked path (configs 2/3).
-    slam_fps = _bench_slam(cfg, cam)
+    # Median of 3 timed segments + min/max spread (VERDICT r4 weak #2: a
+    # single-run number over-reported; the dispatch-rate variance is real
+    # and belongs in the record).
+    slam_med, slam_min, slam_max = _bench_slam(cfg, cam)
 
     print(
         json.dumps(
@@ -83,9 +86,11 @@ def main() -> int:
                 "unit": "frames/s (640x480, LSD+LBD+points+match+RANSAC)",
                 "vs_baseline": round(fps / 15.0, 3),
                 "extra": {
-                    "slam_frames_per_sec_per_chip": round(slam_fps, 3),
-                    "slam_unit": "frames/s (full track+BA+loop SlamSystem loop)",
-                    "slam_vs_baseline": round(slam_fps / 15.0, 3),
+                    "slam_frames_per_sec_per_chip": round(slam_med, 3),
+                    "slam_fps_spread": [round(slam_min, 3), round(slam_max, 3)],
+                    "slam_unit": "frames/s (full track+BA+loop SlamSystem "
+                                 "loop; median of 3 segments)",
+                    "slam_vs_baseline": round(slam_med / 15.0, 3),
                     "scaling": _bench_scaling(),
                 },
             }
@@ -117,13 +122,13 @@ def _bench_scaling():
     return None
 
 
-def _bench_slam(cfg, cam) -> float:
+def _bench_slam(cfg, cam):
     """Steady-state frames/s of the full SLAM loop (BA + loop on), through
     the chunked on-device path (SlamSystem.process_chunk: track + keyframe
     + window BA + cond-gated loop verify/PGO fused into one dispatch per
     chunk) in the deferred-readback throughput mode: the steady-state loop
     is readback-free (runtime/hostsync.py), outputs are flushed after the
-    timed region."""
+    timed region. Returns (median, min, max) over 3 timed segments."""
     import time
 
     import jax
@@ -132,7 +137,7 @@ def _bench_slam(cfg, cam) -> float:
     from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
     from laneslam.system import SlamSystem
 
-    n = 264
+    n = 404
     chunk = max(cfg.frontend.chunk_frames, 1)
     scene = make_corridor_scene(seed=1, num_frames=n)
     frames = [np.asarray(render_scene_frame(scene, i)) for i in range(n)]
@@ -148,17 +153,26 @@ def _bench_slam(cfg, cam) -> float:
         sys_.process_chunk(np.stack(frames[i:i + chunk]))
         i += chunk
     jax.block_until_ready(sys_.T_cur)  # exclude warmup compute from timing
-    t0 = time.perf_counter()
-    done = 0
-    while i + chunk <= n:
-        sys_.process_chunk(np.stack(frames[i:i + chunk]))
-        i += chunk
-        done += chunk
-    jax.block_until_ready(sys_.T_cur)  # force the whole dispatched chain
-    fps = done / (time.perf_counter() - t0)
+    # 3 timed segments over the remaining chunks -> median + spread.
+    remaining = (n - i) // chunk
+    seg_chunks = max(remaining // 3, 1)
+    rates = []
+    for _seg in range(3):
+        t0 = time.perf_counter()
+        done = 0
+        for _c in range(seg_chunks):
+            if i + chunk > n:
+                break
+            sys_.process_chunk(np.stack(frames[i:i + chunk]))
+            i += chunk
+            done += chunk
+        jax.block_until_ready(sys_.T_cur)  # force the dispatched chain
+        if done:
+            rates.append(done / (time.perf_counter() - t0))
     sys_.flush_chunks()  # outside the timed region; validates the outputs
     assert np.all(np.isfinite(sys_.trajectory()))
-    return fps
+    rates = sorted(rates)
+    return rates[len(rates) // 2], rates[0], rates[-1]
 
 
 if __name__ == "__main__":

@@ -31,7 +31,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 _HERE = os.path.dirname(__file__)
 sys.path.insert(0, os.path.join(_HERE, "..", "src"))
-sys.path.insert(0, os.path.join(_HERE, "..", "tests"))
 
 
 def _time(fn, reps=5):
@@ -52,14 +51,14 @@ def main() -> int:
 
     jax.config.update("jax_platforms", "cpu")
 
-    sys.path.insert(0, os.path.join(_HERE, "..", "tests", "dist"))
-
-    from backend.test_ba import CAM, make_problem, perturb
+    from laneslam.testing import (
+        TEST_CAM as CAM, chain_with_loops as _chain_with_loops,
+        make_ba_problem as make_problem, perturb_ba_problem as perturb,
+    )
     from laneslam.config import BaConfig, PgoConfig
     from laneslam.dist.ba_tp import ba_gn_step_sharded, shard_problem
     from laneslam.dist.mesh import make_mesh
     from laneslam.dist.pgo_sp import pgo_solve_sharded_halo
-    from test_pgo_halo import _chain_with_loops  # dist test fixture
 
     ba_rows = []
     pgo_rows = []

@@ -17,9 +17,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 
 
-def run_once(frames, scene, cam, cfg, enable_loop):
-    import jax
-    import numpy as np
+def run_once(frames, cam, cfg, enable_loop):
     from laneslam.system import SlamSystem
 
     n = len(frames)
@@ -80,28 +78,15 @@ def main() -> int:
     gt = np.asarray(scene.poses_wc)
 
     for loops_on in (True, False):
-        s = run_once(frames, scene, cam, cfg, loops_on)
+        s = run_once(frames, cam, cfg, loops_on)
         traj = s.trajectory()
         m = len(traj)
         g = jnp.asarray(gt[:m])
         t = jnp.asarray(traj)
         ate_s3, _ = ate_rmse(t, g, align_scale=True)
         ate_se3, _ = ate_rmse(t, g, align_scale=False)
-        t0 = time.perf_counter()
-        gba_cost = s.global_ba()
-        t_gba = time.perf_counter() - t0
-        t2 = jnp.asarray(s.trajectory())
-        ate_gba, _ = ate_rmse(t2, g, align_scale=True)
-        print(json.dumps({
-            "loops_on": loops_on,
-            "ate_sim3_after_global_ba": round(float(ate_gba), 4),
-            "gba_cost": gba_cost, "gba_s": round(t_gba, 2),
-        }), flush=True)
-        kf = s.keyframe_trajectory()
-        # match keyframes to their frame indices
-        kf_frames = [i for i, (k, _) in enumerate(s.frame_refs) if k >= 0]
-        # per-keyframe GT via frame_refs: use kf anchor frames
-        # per-lap scale: segment trajectory into laps by GT angle
+        # Per-segment scale of the estimate vs GT: localizes WHERE scale
+        # drift lives (uniform offset would be aligned away by Sim(3)).
         est_t = np.asarray(t[:, :3, 3])
         gt_t = np.asarray(g[:, :3, 3])
         seg = max(1, m // 8)
@@ -117,6 +102,16 @@ def main() -> int:
             "ate_se3": round(float(ate_se3), 4),
             "kf_count": int(s.map.kf_count),
             "per_segment_scale_est_over_gt": scales,
+        }), flush=True)
+        t0 = time.perf_counter()
+        gba_cost = s.global_ba()
+        t_gba = time.perf_counter() - t0
+        t2 = jnp.asarray(s.trajectory())
+        ate_gba, _ = ate_rmse(t2, g, align_scale=True)
+        print(json.dumps({
+            "loops_on": loops_on,
+            "ate_sim3_after_global_ba": round(float(ate_gba), 4),
+            "gba_cost": gba_cost, "gba_s": round(t_gba, 2),
         }), flush=True)
     return 0
 

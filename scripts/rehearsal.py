@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--backend", default="")
     ap.add_argument("--global-ba", action="store_true", dest="global_ba",
                     help="final full-map BA refinement (SlamSystem.global_ba)")
+    ap.add_argument("--no-loop", action="store_true", dest="no_loop",
+                    help="disable loop closure (the BASELINE.md §6 control)")
     args = ap.parse_args()
 
     if args.backend == "cpu":
@@ -83,13 +85,24 @@ def main() -> int:
         width=scene.cam.width, height=scene.cam.height,
     )
 
-    t0 = time.perf_counter()
-    frames = np.stack([render_scene_frame(scene, i) for i in range(n)])
-    t_render = time.perf_counter() - t0
-    print(f"[rehearsal] rendered {n} frames in {t_render:.1f}s "
-          f"({frames.nbytes / 1e9:.2f} GB)", flush=True)
+    cache = os.environ.get("LANESLAM_RENDER_CACHE", "")
+    cache_path = (
+        os.path.join(cache, f"rehearsal_{args.scene}_{n}_{args.laps}.npy")
+        if cache else ""
+    )
+    if cache_path and os.path.exists(cache_path):
+        frames = np.load(cache_path, mmap_mode="r")
+        print(f"[rehearsal] loaded {n} frames from cache", flush=True)
+    else:
+        t0 = time.perf_counter()
+        frames = np.stack([render_scene_frame(scene, i) for i in range(n)])
+        t_render = time.perf_counter() - t0
+        print(f"[rehearsal] rendered {n} frames in {t_render:.1f}s "
+              f"({frames.nbytes / 1e9:.2f} GB)", flush=True)
+        if cache_path:
+            np.save(cache_path, frames)
 
-    sys_ = SlamSystem(cfg, cam, enable_loop=True, enable_ba=True)
+    sys_ = SlamSystem(cfg, cam, enable_loop=not args.no_loop, enable_ba=True)
     sys_.defer_readback = True
     i = 0
     while not sys_.bootstrapped or i < 4:
@@ -120,15 +133,18 @@ def main() -> int:
     traj = sys_.trajectory()
     gt = scene.poses_wc[: len(traj)]
     ate, _ = ate_rmse(jnp.asarray(traj), jnp.asarray(gt), align_scale=True)
-    ate_gba = float("nan")
-    t_gba = 0.0
+    # None (-> JSON null) when --global-ba is off: a NaN literal is not
+    # valid strict JSON and breaks downstream parsers (ADVICE r4).
+    ate_gba = None
+    t_gba = None
     if args.global_ba:
         t0 = time.perf_counter()
         sys_.global_ba()
-        t_gba = time.perf_counter() - t0
-        ate_gba, _ = ate_rmse(
+        t_gba = round(time.perf_counter() - t0, 2)
+        a, _ = ate_rmse(
             jnp.asarray(sys_.trajectory()), jnp.asarray(gt), align_scale=True
         )
+        ate_gba = round(float(a), 4)
     result = {
         "frames": n,
         "laps": args.laps,
@@ -137,8 +153,8 @@ def main() -> int:
         "lines": int(sys_.map.ln_count),
         "loops": int(sys_.num_loops),
         "ate_rmse_sim3": round(float(ate), 4),
-        "ate_rmse_sim3_after_global_ba": round(float(ate_gba), 4),
-        "global_ba_s": round(t_gba, 2),
+        "ate_rmse_sim3_after_global_ba": ate_gba,
+        "global_ba_s": t_gba,
         "steady_fps": round(fps, 1),
         "pt_overflow": int(sys_.map.pt_overflow),
         "ln_overflow": int(sys_.map.ln_overflow),

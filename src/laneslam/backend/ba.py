@@ -38,7 +38,9 @@ from laneslam.kernels.schur import schur_reduce
 from laneslam.backend.residuals import (
     huber_weight,
     line_obs_linearize,
+    line_residual,
     point_obs_linearize,
+    point_residual,
 )
 from laneslam.geometry import se3
 from laneslam.geometry.camera import Camera
@@ -178,6 +180,28 @@ def _schur_solve(Hcc, gc, lm_blocks, damping, num_fixed_poses):
         rhs = g + jnp.einsum("nwad,wa->nd", B, delta_c)
         deltas_lm.append(-jnp.einsum("nde,ne->nd", Hinv, rhs))
     return delta_c, deltas_lm
+
+
+def _residual_cost(problem: BAProblem, cam: Camera, huber_px: float) -> jnp.ndarray:
+    """Robust cost WITHOUT Jacobians — for LM candidate evaluation, where
+    linearizing (jacfwd per observation) would roughly double the step's
+    work only to throw the Jacobians away."""
+    r_p, z = jax.vmap(
+        lambda T, X, uv: point_residual(T, X, uv, cam)
+    )(problem.T_cw[problem.pt_w], problem.points[problem.pt_p], problem.pt_uv)
+    w_p = (
+        huber_weight(r_p, huber_px)
+        * problem.pt_valid.astype(r_p.dtype)
+        * (z > 1e-3).astype(r_p.dtype)
+    )
+    r_l = jax.vmap(
+        lambda T, L, seg: line_residual(T, L, seg, cam)
+    )(problem.T_cw[problem.ln_w], problem.lines[problem.ln_l], problem.ln_seg)
+    w_l = huber_weight(r_l, huber_px) * problem.ln_valid.astype(r_l.dtype)
+    return 0.5 * (
+        jnp.sum(w_p * jnp.sum(r_p**2, axis=-1))
+        + jnp.sum(w_l * jnp.sum(r_l**2, axis=-1))
+    )
 
 
 def _robust_cost(lin_p, lin_l) -> jnp.ndarray:

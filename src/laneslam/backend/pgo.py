@@ -66,6 +66,35 @@ def _huber_w(r: jnp.ndarray, k: float) -> jnp.ndarray:
     return jnp.minimum(1.0, k / jnp.maximum(n, 1e-12))
 
 
+def _clamp_step(delta: jnp.ndarray, cap: float) -> jnp.ndarray:
+    """Per-node trust region: scale each node's tangent update so its norm
+    is <= cap. An ill-conditioned CG solve (near-singular graph, a bad
+    loop edge) can emit huge deltas; retracting them explodes the chain —
+    round-5 measured the production Sim(3) graph overflowing to 1e12
+    translations from exactly this. Clamping preserves the direction, and
+    subsequent GN iterations re-linearize from the clamped point."""
+    n = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+    return delta * jnp.minimum(1.0, cap / jnp.maximum(n, 1e-12))
+
+
+def _edge_cost(T_wc, problem: "PgoProblem", cfg: PgoConfig) -> jnp.ndarray:
+    """Robust cost at T_wc — residuals only (no jacfwd), for the GN
+    safeguard's candidate evaluation."""
+    Ti = T_wc[problem.edge_i]
+    Tj = T_wc[problem.edge_j]
+    r = jax.vmap(lambda a, b, m: se3.log(m @ se3.inverse(a) @ b))(
+        Ti, Tj, se3.inverse(problem.edge_T)
+    )
+    w = (
+        _huber_w(r, cfg.huber)
+        * problem.edge_weight
+        * problem.node_valid[problem.edge_i]
+        * problem.node_valid[problem.edge_j]
+    )
+    r = jnp.where((w > 0)[:, None], jnp.nan_to_num(r), 0.0)
+    return 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+
 @partial(jax.jit, static_argnames=("cfg", "num_fixed", "cg_iters"))
 def pgo_solve(
     problem: PgoProblem,
@@ -150,8 +179,16 @@ def pgo_solve(
         (delta, _, _, _), _ = jax.lax.scan(
             cg_body, (x0, r0, z0, jnp.sum(r0 * z0)), None, length=cg_iters
         )
-        delta = delta * free
+        delta = _clamp_step(delta * free, cfg.step_cap) * free
         T_new = T_wc @ se3.exp(delta)
+        # Safeguarded GN: reject a CATASTROPHIC step (non-finite cost, or
+        # cost blowing past 4x the linearization point). Mild increases are
+        # allowed — Huber GN fluctuates near convergence, and a strict
+        # monotone gate was measured to stall the solver at the first
+        # fluctuation (the step from an unchanged state repeats forever).
+        cost_new = _edge_cost(T_new, problem, cfg)
+        take = jnp.isfinite(cost_new) & (cost_new <= 4.0 * cost + 1e-6)
+        T_new = jnp.where(take, T_new, T_wc)
         return T_new, cost
 
     T_out, costs = jax.lax.scan(gn_step, problem.T_wc, None, length=cfg.gn_iters)
@@ -211,6 +248,29 @@ def _edge_linearize_sim3(problem: PgoSim3Problem):
         )(z, z)
     )(Ti, si, Tj, sj, *Sm_inv)
     return r, Ji, Jj
+
+
+def _edge_cost_sim3(T_wc, s_wc, problem: "PgoSim3Problem", cfg: PgoConfig):
+    """Robust Sim(3) cost — residuals only, for the GN safeguard."""
+    Sm_inv = sim3.inverse((problem.edge_T, problem.edge_s))
+    r = jax.vmap(
+        lambda Ti, si, Tj, sj, Tm, sm: sim3.log(
+            sim3.compose((Tm, sm), sim3.compose(
+                sim3.inverse((Ti, si)), (Tj, sj)
+            ))
+        )
+    )(
+        T_wc[problem.edge_i], s_wc[problem.edge_i],
+        T_wc[problem.edge_j], s_wc[problem.edge_j], *Sm_inv
+    )
+    w = (
+        _huber_w(r, cfg.huber)
+        * problem.edge_weight
+        * problem.node_valid[problem.edge_i]
+        * problem.node_valid[problem.edge_j]
+    )
+    r = jnp.where((w > 0)[:, None], jnp.nan_to_num(r), 0.0)
+    return 0.5 * jnp.sum(w * jnp.sum(r * r, axis=-1))
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_fixed", "cg_iters"))
@@ -298,8 +358,17 @@ def pgo_solve_sim3(
             cg_body, (jnp.zeros((N, 7), dtype), r0, z0, jnp.sum(r0 * z0)),
             None, length=cg_iters,
         )
-        delta = delta * free
+        delta = _clamp_step(delta * free, cfg.step_cap) * free
+        # The scale direction compounds exponentially (s <- s * e^dsigma):
+        # clamp it tighter than the rigid part so a bad CG solve cannot
+        # collapse/explode node scales in one iteration.
+        delta = delta.at[:, 6].set(jnp.clip(delta[:, 6], -0.3, 0.3))
         T_new, s_new = sim3.retract((T_wc, s_wc), delta)
+        # Safeguarded GN: reject catastrophic steps only (see pgo_solve).
+        cost_new = _edge_cost_sim3(T_new, s_new, problem, cfg)
+        take = jnp.isfinite(cost_new) & (cost_new <= 4.0 * cost + 1e-6)
+        T_new = jnp.where(take, T_new, T_wc)
+        s_new = jnp.where(take, s_new, s_wc)
         return pack(T_new, s_new), cost
 
     (T_out, s_out), costs = jax.lax.scan(

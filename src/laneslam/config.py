@@ -83,6 +83,13 @@ class PgoConfig:
     gn_iters: int = 20
     huber: float = 0.5
     damping: float = 1e-6
+    # Per-node trust region: each GN step's tangent update is norm-clipped
+    # to this (backend/pgo.py _clamp_step). Guards against CG blowups on
+    # near-singular graphs (the round-5 production Sim(3) explosion emitted
+    # deltas > 1e6); 4.0 leaves legitimate large corrections untouched —
+    # measured on the scale-drift fixture, cap 1.0 truncated the solution
+    # path (stalled at 0.83 m vs GT) while cap >= 2.0 recovers GT (0.02 m).
+    step_cap: float = 4.0
 
 
 @dataclass(frozen=True)
@@ -122,6 +129,13 @@ class FrontendConfig:
     # tunneled chip pays ~90 us per dispatch vs ~12 us device compute per
     # frame). 1 = legacy per-frame dispatch.
     chunk_frames: int = 8
+    # Adaptive keyframe cadence in the fused chunk path (SURVEY C18): the
+    # chunk's keyframe+backend block runs under a chunk-level lax.cond
+    # gated on the span's per-frame keyframe-decision signals, so cadence
+    # becomes <= 1 KF per chunk (decided by tracked-ratio / interval rules)
+    # instead of exactly 1. False = round-4 fixed cadence: one keyframe
+    # every chunk unconditionally.
+    chunk_adaptive_kf: bool = False
     # Track against the local window's landmarks (last-2 keyframes' obs
     # rows, ~2*Op candidates) instead of every map landmark. 16x less
     # match/gate work; loses the implicit full-map re-localization that

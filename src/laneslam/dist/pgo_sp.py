@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from laneslam.backend.pgo import PgoProblem, _edge_linearize, _huber_w
+from laneslam.backend.pgo import (
+    PgoProblem, _clamp_step, _edge_cost, _edge_linearize, _huber_w,
+)
 from laneslam.dist import collectives as coll
 from laneslam.config import PgoConfig
 from laneslam.geometry import se3
@@ -122,10 +124,20 @@ def pgo_solve_sharded(
         (delta, _, _, _), _ = jax.lax.scan(
             cg_body, (x0, b, z0, jnp.sum(b * z0)), None, length=cg_iters
         )
-        delta = delta * free_all
+        # Same safeguard as pgo_solve (numerical contract): per-node trust
+        # region + catastrophic-step rejection. Candidate cost = psum of
+        # local-edge robust costs at the gathered new poses.
+        delta = _clamp_step(delta * free_all, cfg.step_cap) * free_all
         # Each shard retracts only its own span.
         d_loc = jax.lax.dynamic_slice_in_dim(delta, base, n_local, axis=0)
-        return T_wc_loc @ se3.exp(d_loc), cost
+        T_loc_new = T_wc_loc @ se3.exp(d_loc)
+        T_all_new = coll.all_gather(T_loc_new, "frame").reshape(N, 4, 4)
+        cost_new = coll.psum(
+            _edge_cost(T_all_new, prob_rep._replace(node_valid=nv_all), cfg),
+            "frame",
+        )
+        take = jnp.isfinite(cost_new) & (cost_new <= 4.0 * cost + 1e-6)
+        return jnp.where(take, T_loc_new, T_wc_loc), cost
 
     frame = P("frame")
     rep = P()
@@ -335,8 +347,15 @@ def pgo_solve_sharded_halo(
         (delta, _, _, _), _ = jax.lax.scan(
             cg_body, (x0, b, z0, pdot(b, z0)), None, length=cg_iters
         )
-        delta = delta * free_l
-        return T_wc_loc @ se3.exp(delta), cost, ok
+        # Same safeguard as pgo_solve (numerical contract): per-node trust
+        # region + catastrophic-step rejection. One extra O(N) gather per
+        # GN step (amortized over cg_iters matvecs).
+        delta = _clamp_step(delta * free_l, cfg.step_cap) * free_l
+        T_loc_new = T_wc_loc @ se3.exp(delta)
+        T_all_new = coll.all_gather(T_loc_new, "frame").reshape(N, 4, 4)
+        cost_new = coll.psum(_edge_cost(T_all_new, prob_rep, cfg), "frame")
+        take = jnp.isfinite(cost_new) & (cost_new <= 4.0 * cost + 1e-6)
+        return jnp.where(take, T_loc_new, T_wc_loc), cost, ok
 
     frame = P("frame")
     rep = P()

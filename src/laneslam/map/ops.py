@@ -365,6 +365,49 @@ def apply_scale_correction(
     return m._replace(kf_T_wc=T_new, pt_xyz=pt, ln_plucker=ln)
 
 
+def apply_pose_corrections_sim3(
+    m: MapState, T_wc_new: jnp.ndarray, s_wc_new: jnp.ndarray
+) -> MapState:
+    """After Sim(3) PGO: apply each node's similarity correction to its
+    anchored landmarks and adopt the SE(3) part as the new keyframe pose.
+
+    The solved node k is S_k = (R_k, t_k, s_k) acting on camera-local
+    coords as X_w = s_k R_k X_c + t_k; the camera center/orientation are
+    (R_k, t_k) regardless of s_k, so the stored SE(3) pose is just the
+    matrix part, while landmarks anchored at k re-express through the
+    similarity: X' = S_new(S_old^-1 X) with S_old = (T_old, 1). Plücker
+    lines under a similarity X' = sRX + t: direction v' = R v, moment
+    n' = s R n + [t]x R v — i.e. scale the LOCAL moment, then the SE(3)
+    adjoint (same decomposition as apply_scale_correction).
+
+    The caller (system._run_pgo_sim3) is responsible for folding the node
+    scales into the stored edge measurements so the next PGO run — which
+    re-initializes node scales to 1 — sees a consistent graph.
+    """
+    from laneslam.geometry.lines import plucker_transform
+
+    sp = s_wc_new[jnp.maximum(m.pt_anchor_kf, 0)]
+    T_old_a = m.kf_T_wc[jnp.maximum(m.pt_anchor_kf, 0)]
+    T_new_a = T_wc_new[jnp.maximum(m.pt_anchor_kf, 0)]
+    X_local = se3.transform_points(se3.inverse(T_old_a), m.pt_xyz)
+    pt = se3.transform_points(T_new_a, sp[:, None] * X_local)
+    keep = (m.pt_anchor_kf >= 0) & m.pt_valid
+    pt = jnp.where(keep[:, None], pt, m.pt_xyz)
+
+    sl = s_wc_new[jnp.maximum(m.ln_anchor_kf, 0)]
+    Tl_old = m.kf_T_wc[jnp.maximum(m.ln_anchor_kf, 0)]
+    Tl_new = T_wc_new[jnp.maximum(m.ln_anchor_kf, 0)]
+    L_local = plucker_transform(se3.inverse(Tl_old), m.ln_plucker)
+    L_scaled = jnp.concatenate(
+        [L_local[:, :3] * sl[:, None], L_local[:, 3:]], axis=-1
+    )
+    ln = plucker_transform(Tl_new, L_scaled)
+    keep_l = (m.ln_anchor_kf >= 0) & m.ln_valid
+    ln = jnp.where(keep_l[:, None], ln, m.ln_plucker)
+
+    return m._replace(kf_T_wc=T_wc_new, pt_xyz=pt, ln_plucker=ln)
+
+
 def apply_pose_corrections(m: MapState, T_wc_new: jnp.ndarray) -> MapState:
     """After PGO: move each landmark by its anchor keyframe's correction.
 

@@ -51,6 +51,8 @@ def load_map_state(path: str):
     if "edges" in payload:
         e = {k: jnp.asarray(v) for k, v in payload["edges"].items()}
         e.setdefault("overflow", jnp.asarray(0, jnp.int32))  # pre-r4 checkpoints
+        # pre-r5 checkpoints carry no per-edge scale (SE(3)-only graphs).
+        e.setdefault("edge_s", jnp.ones_like(e["edge_weight"]))
         edges = EdgeStore(**e)
     return m, edges, payload.get("extra", {})
 

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from laneslam.backend.ba import ba_solve
-from laneslam.backend.pgo import PgoProblem, pgo_solve
+from laneslam.backend.pgo import (
+    PgoProblem, PgoSim3Problem, pgo_solve, pgo_solve_sim3,
+)
 from laneslam.config import SlamConfig
 from laneslam.features.match import match_descriptors, match_lines, match_points
 from laneslam.frontend.extract import FrameFeatures, extract_features
@@ -433,8 +435,9 @@ def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
     return m, info.cost
 
 
-@partial(jax.jit, static_argnames=("cfg", "cam", "W", "iters"))
-def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int):
+@partial(jax.jit, static_argnames=("cfg", "cam", "W", "iters", "num_fixed"))
+def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int,
+               num_fixed: int = 2):
     """Global bundle adjustment: one BA solve whose window is EVERY live
     keyframe (W >= kf_count), so all poses and all landmarks are jointly
     refined against all observations — the full-map refinement ORB-SLAM
@@ -448,24 +451,36 @@ def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int):
     selects all keyframes, gather_window compacts landmark blocks, and the
     Schur reduction's dense coupling tensor B is (<=min(W*Op, P), W, 6, d)
     — ~600 MB at production capacity (512 KF x 512 obs), a one-shot cost
-    that fits v5e HBM comfortably. Gauge: first pose frozen.
+    that fits v5e HBM comfortably.
+
+    Gauge: `num_fixed` poses frozen. Mono systems pass 2 (same as
+    _window_ba): a projective problem has a 7-dim gauge group and fixing
+    one pose leaves the global-scale direction constrained only by LM
+    damping — repeated solves would let the map's metric scale wander
+    (ADVICE r4). Stereo passes 1 (the right-camera residuals pin scale).
     """
     ids, slot_valid = ops.window_ids(m, W)
     prob, tables = ops.gather_window(m, ids, slot_valid)
     import dataclasses
 
     bacfg = dataclasses.replace(cfg.ba, gn_iters=iters)
-    out, info = ba_solve(prob, cam, bacfg, num_fixed_poses=1)
+    out, info = ba_solve(prob, cam, bacfg, num_fixed_poses=num_fixed)
     m = ops.scatter_window(m, out, ids, slot_valid, tables)
     return m, info.cost
 
 
 class EdgeStore(NamedTuple):
-    """Fixed-capacity pose-graph edge table (device-resident)."""
+    """Fixed-capacity pose-graph edge table (device-resident).
+
+    `edge_s` is the measured relative SCALE of the edge (Sim(3) mono graphs,
+    backend/pgo.py PgoSim3Problem): odometry edges carry 1.0 (tracking is
+    locally scale-consistent), loop edges carry the scale fitted by Sim(3)
+    verification (loop/verify.py). The SE(3) PGO path ignores it."""
 
     edge_i: jnp.ndarray  # (E,)
     edge_j: jnp.ndarray
     edge_T: jnp.ndarray  # (E, 4, 4)
+    edge_s: jnp.ndarray  # (E,) measured relative scale (1.0 for SE(3))
     edge_weight: jnp.ndarray  # (E,)
     count: jnp.ndarray  # int32
     overflow: jnp.ndarray  # int32: edges dropped because the table was full
@@ -476,6 +491,7 @@ class EdgeStore(NamedTuple):
             edge_i=jnp.zeros((capacity,), jnp.int32),
             edge_j=jnp.zeros((capacity,), jnp.int32),
             edge_T=jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1)),
+            edge_s=jnp.ones((capacity,), jnp.float32),
             edge_weight=jnp.zeros((capacity,), jnp.float32),
             count=jnp.asarray(0, jnp.int32),
             overflow=jnp.asarray(0, jnp.int32),
@@ -483,7 +499,7 @@ class EdgeStore(NamedTuple):
 
 
 @jax.jit
-def _add_edge(es: EdgeStore, i, j, T, w, enabled=True):
+def _add_edge(es: EdgeStore, i, j, T, w, enabled=True, s=1.0):
     """Append an edge; `enabled=False` (traced) makes it a masked no-op
     (writes go out of bounds and are dropped) — the TPU-idiomatic
     conditional for the fused chunk path.
@@ -499,6 +515,7 @@ def _add_edge(es: EdgeStore, i, j, T, w, enabled=True):
         edge_i=es.edge_i.at[at].set(i, mode="drop"),
         edge_j=es.edge_j.at[at].set(j, mode="drop"),
         edge_T=es.edge_T.at[at].set(T, mode="drop"),
+        edge_s=es.edge_s.at[at].set(s, mode="drop"),
         edge_weight=es.edge_weight.at[at].set(w, mode="drop"),
         count=es.count + (en & fits).astype(jnp.int32),
         overflow=es.overflow + (en & ~fits).astype(jnp.int32),
@@ -536,6 +553,49 @@ def _run_pgo(m: MapState, es: EdgeStore, cfg: SlamConfig):
     out, info = pgo_solve(prob, cfg.pgo, num_fixed=1, cg_iters=60)
     m = ops.apply_pose_corrections(m, out.T_wc)
     return m, info.cost
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _run_pgo_sim3(m: MapState, es: EdgeStore, cfg: SlamConfig):
+    """Mono pose-graph optimization over Sim(3) (Strasdat RSS 2010 /
+    ORB-SLAM essential graph): node scales let the solver distribute a
+    loop's observed scale error SMOOTHLY along the odometry chain, weighted
+    by each edge's information — which the previous uniform span
+    renormalization (_apply_loop_scale) could not (it assumed one shared
+    factor across the whole span; scale drift that accumulates gradually
+    needs a per-node profile).
+
+    Node scales initialize to 1 (the SE(3) map is the current linearization
+    point); odometry edges carry edge_s = 1, loop edges the verified scale.
+    After the solve the per-node similarity corrections are applied to the
+    anchored landmarks (ops.apply_pose_corrections_sim3) and the node
+    scales are FOLDED back into the stored edge measurements — the
+    converged relation is t_meas ~= (1/s_i) R_i^T (t_j - t_i) and
+    s_meas ~= s_j / s_i, so the SE(3)-consistent stored measurement becomes
+    (t_meas * s_i, s_meas * s_i / s_j); the next PGO run re-initializes
+    node scales to 1 and sees a consistent graph.
+    """
+    K = m.kf_T_wc.shape[0]
+    live = (jnp.arange(es.edge_i.shape[0]) < es.count).astype(jnp.float32)
+    prob = PgoSim3Problem(
+        T_wc=m.kf_T_wc,
+        s_wc=jnp.ones((K,), m.kf_T_wc.dtype),
+        node_valid=m.kf_valid,
+        edge_i=es.edge_i,
+        edge_j=es.edge_j,
+        edge_T=es.edge_T,
+        edge_s=es.edge_s,
+        edge_weight=es.edge_weight * live,
+    )
+    out, info = pgo_solve_sim3(prob, cfg.pgo, num_fixed=1, cg_iters=60)
+    m = ops.apply_pose_corrections_sim3(m, out.T_wc, out.s_wc)
+    si = out.s_wc[es.edge_i]
+    sj = out.s_wc[es.edge_j]
+    es = es._replace(
+        edge_T=es.edge_T.at[:, :3, 3].multiply(si[:, None]),
+        edge_s=es.edge_s * si / jnp.maximum(sj, 1e-12),
+    )
+    return m, es, info.cost
 
 
 class SlamCarry(NamedTuple):
@@ -597,8 +657,11 @@ def _slam_chunk(
     stereo: bool = False,
     feats_right_last: Optional[FrameFeatures] = None,
 ):
-    """N SLAM frames in ONE device dispatch (configs 2/3/4), at a FIXED
-    keyframe cadence of one keyframe per chunk.
+    """N SLAM frames in ONE device dispatch (configs 2/3/4), keyframe
+    cadence of AT MOST one keyframe per chunk: exactly one when
+    cfg.frontend.chunk_adaptive_kf is False (default, the round-4 fixed
+    cadence), else gated on the span's keyframe-decision signals via a
+    chunk-level lax.cond (VERDICT r4 #4).
 
     Stereo (config 4): tracking is identical (mono PnP against the metric
     map); only the keyframe block differs — the chunk's LAST frame
@@ -611,24 +674,20 @@ def _slam_chunk(
       1. lax.scan over the N frames: extract + track only. The map is a
          closure constant during the scan (no keyframe mid-chunk), so the
          carry stays small.
-      2. ONE unconditional backend block on the chunk's last frame:
-         make-keyframe + cull + window BA + loop retrieve/verify + PGO.
-         Conditionality is expressed as masking (OOB-dropped scatters,
-         identity scale), never lax.cond: measured on this backend, a
-         dynamic cond inside scan executes at taken-branch cost EVERY
-         iteration (112 ms/frame vs 24 with the cond removed), so an
-         adaptive-keyframe cond formulation paid the full backend per frame.
+      2. ONE backend block on the chunk's last frame: make-keyframe + cull
+         + window BA + loop retrieve/verify + PGO. Conditionality at the
+         CHUNK level only (one lax.cond per dispatch, adaptive mode);
+         within the block it is masking (OOB-dropped scatters), never a
+         per-frame cond: measured on this backend, a dynamic cond inside
+         the scan executes at taken-branch cost EVERY iteration
+         (112 ms/frame vs 24 with the cond removed).
 
-    Fixed cadence vs the host path's adaptive keyframing: with
-    chunk_frames <= kf_max_interval the cadence is at least as dense as the
-    adaptive interval rule; the tracking-quality signal still reaches the
-    graph through the span-quality odometry edge weights.
-
-    Returns (carry, (packed (N, 36), kf_stats (26,))). packed rows follow
+    Returns (carry, (packed (N, 36), kf_stats (27,))). packed rows follow
     _track_step's layout. kf_stats: [0:16] refined last-frame pose,
     [16] kf_id, [17] new_pts, [18] new_lines, [19] ba_cost0, [20] ba_costN,
     [21] loop_accepted, [22] loop_cand, [23] loop_inliers, [24] loop_scale,
-    [25] span_fallbacks over the chunk.
+    [25] span_fallbacks over the chunk, [26] made_kf (0 when the adaptive
+    gate skipped the keyframe; kf_id/new_* are -1 then).
     """
     f32 = jnp.float32
     m = carry.m  # constant through the tracking scan
@@ -660,104 +719,148 @@ def _slam_chunk(
     (T_last, last_rel, fsk, feats_last, lm_last, inl_last, span_min, span_fb,
      ring, key), packed = jax.lax.scan(frame_step, c0, feats_chunk)
 
-    # ---- unconditional keyframe + backend block (once per chunk) ----
+    # ---- keyframe + backend block (at most once per chunk), gated by the
+    # span's KEYFRAME DECISION (VERDICT r4 #4): a second chunk-level
+    # lax.cond — the per-frame tracked-ratio/parallax/interval signals
+    # already ride in packed[:, 35]; when no frame in the span asked for a
+    # keyframe, the whole make-keyframe/cull/BA/loop block is skipped at
+    # runtime and the span (frames_since_kf, quality stats) carries into
+    # the next chunk. Cadence is therefore <= 1 KF/chunk: with
+    # kf_max_interval <= chunk_frames this reduces to the round-4 fixed
+    # cadence (the interval rule fires every chunk); with a larger interval
+    # low-motion spans stop bloating the map. (A PER-FRAME cond inside the
+    # scan is NOT equivalent: measured round 4, a dynamic cond inside scan
+    # executes at taken-branch cost every iteration.)
     key, k_loop = jax.random.split(key)
-    if stereo:
-        from laneslam.frontend.stereo import stereo_match
+    want_kf = jnp.any(packed[:, 35] > 0)
 
-        depths = stereo_match(
-            feats_last, feats_right_last, float(cam.fx), float(cam.baseline), cfg
-        )
-        m2, kf_id2, T_rel, n_p, n_l = _make_keyframe_stereo(
-            m, kf_id, feats_last, depths, lm_last, inl_last,
-            T_last, vocab, cfg, cam,
-        )
-    else:
-        m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
-            m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
-            T_last, vocab, cfg, cam,
-        )
-    w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
-    w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
-    m2, _cp, _cl = ops.cull_landmarks(
-        m2, min_obs=cfg.map.cull_min_obs, min_age_kf=cfg.map.cull_min_age_kf,
-        pressure=cfg.map.cull_pressure,
-    )
-    ba_stats = jnp.zeros((2,), f32)
-    if enable_ba:
-        m2, ba_cost = _window_ba(m2, cfg, cam)
-        ba_stats = jnp.stack([ba_cost[0], ba_cost[-1]])
-    # Odometry edge measured from the POST-BA keyframe poses: the tracked
-    # (pre-BA) relative pose drifts meters over a 10-frame span, and a pose
-    # graph built from stale measurements caps what ANY loop closure can
-    # recover (measured round 4: with pre-BA chain edges, even a ground-
-    # truth loop edge improved the 150-frame loop fixture's ATE by only 9%).
-    T_rel_post = se3.inverse(m2.kf_T_wc[kf_id]) @ m2.kf_T_wc[kf_id2]
-    es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel_post, w)
-    loop_stats = jnp.zeros((4,), f32)
-    nloops = carry.num_loops
-    if enable_loop:
-        from laneslam.loop.verify import empty_batched_result
+    def _backend():
+        if stereo:
+            from laneslam.frontend.stereo import stereo_match
 
-        cand_ids, _sims = query_kfdb(
-            m2.kf_agg_desc, m2.kf_valid, m2.kf_agg_desc[kf_id2],
-            kf_id2, cfg.loop, covis_row=m2.covis[kf_id2],
+            depths = stereo_match(
+                feats_last, feats_right_last, float(cam.fx), float(cam.baseline), cfg
+            )
+            m2, kf_id2, T_rel, n_p, n_l = _make_keyframe_stereo(
+                m, kf_id, feats_last, depths, lm_last, inl_last,
+                T_last, vocab, cfg, cam,
+            )
+        else:
+            m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
+                m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
+                T_last, vocab, cfg, cam,
+            )
+        w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
+        w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
+        m2, _cp, _cl = ops.cull_landmarks(
+            m2, min_obs=cfg.map.cull_min_obs, min_age_kf=cfg.map.cull_min_age_kf,
+            pressure=cfg.map.cull_pressure,
         )
-        # Chunk-level lax.cond (ONE cond per dispatch, after the frame scan
-        # — NOT the per-frame-scan cond measured pathological at the scan
-        # level): when retrieval returns no candidate above threshold, the
-        # whole verification stage is skipped at runtime, and when no
-        # candidate verifies, the scale/edge/PGO stage is skipped. The
-        # steady-state chunk therefore pays retrieval (one GEMV) only;
-        # verification + PGO cost lands exactly on the chunks that close a
-        # loop. (Round-3 ran verify+PGO unconditionally every chunk — both
-        # the throughput red flag of VERDICT r3 and the ADVICE r3 high bug:
-        # chain-only PGO converges to the odometry composition, silently
-        # overwriting window-BA pose refinements every chunk.)
-        lr = jax.lax.cond(
-            jnp.any(cand_ids >= 0),
-            lambda: verify_loops(
-                m2, kf_id2, cand_ids, k_loop, cfg.loop,
-                with_scale=not stereo, cam=cam,
-            ),
-            lambda: empty_batched_result(cand_ids.shape[0]),
-        )
+        ba_stats = jnp.zeros((2,), f32)
+        if enable_ba:
+            m2, ba_cost = _window_ba(m2, cfg, cam)
+            ba_stats = jnp.stack([ba_cost[0], ba_cost[-1]])
+        # Odometry edge measured from the POST-BA keyframe poses: the
+        # tracked (pre-BA) relative pose drifts meters over a 10-frame
+        # span, and a pose graph built from stale measurements caps what
+        # ANY loop closure can recover (measured round 4: with pre-BA chain
+        # edges, even a ground-truth loop edge improved the 150-frame loop
+        # fixture's ATE by only 9%).
+        T_rel_post = se3.inverse(m2.kf_T_wc[kf_id]) @ m2.kf_T_wc[kf_id2]
+        es2 = _add_edge(carry.es, kf_id, kf_id2, T_rel_post, w)
+        loop_stats = jnp.zeros((4,), f32)
+        nloops = carry.num_loops
+        if enable_loop:
+            from laneslam.loop.verify import empty_batched_result
 
-        def _close(ops_):
-            m_, es_ = ops_
-            if not stereo:
-                # Mono Sim(3) renormalization from the best-supported edge;
-                # s_eff == 1 is the identity map.
-                s_eff = jnp.where(jnp.abs(lr.scale - 1.0) > 0.02, lr.scale, 1.0)
-                m_, es_ = _apply_loop_scale(m_, es_, lr.best_cand, kf_id2, s_eff)
-            # EVERY verified candidate becomes a constraint (multi-pass
-            # intersections close against several old keyframes at once).
-            for c in range(lr.all_accepted.shape[0]):
-                w_c = jnp.clip(lr.all_inliers[c].astype(f32) / 12.0, 1.5, 6.0)
-                es_ = _add_edge(
-                    es_, lr.all_cand[c], kf_id2, lr.all_T_rel[c], w_c,
-                    enabled=lr.all_accepted[c],
-                )
-            m_, _cost = _run_pgo(m_, es_, cfg)
-            return m_, es_
+            cand_ids, _sims = query_kfdb(
+                m2.kf_agg_desc, m2.kf_valid, m2.kf_agg_desc[kf_id2],
+                kf_id2, cfg.loop, covis_row=m2.covis[kf_id2],
+            )
+            # Nested chunk-level lax.cond: when retrieval returns no
+            # candidate above threshold, the whole verification stage is
+            # skipped at runtime, and when no candidate verifies, the
+            # edge/PGO stage is skipped. The steady-state chunk therefore
+            # pays retrieval (one GEMV) only; verification + PGO cost lands
+            # exactly on the chunks that close a loop. (Round-3 ran
+            # verify+PGO unconditionally every chunk — both the throughput
+            # red flag of VERDICT r3 and the ADVICE r3 high bug: chain-only
+            # PGO converges to the odometry composition, silently
+            # overwriting window-BA pose refinements every chunk.)
+            lr = jax.lax.cond(
+                jnp.any(cand_ids >= 0),
+                lambda: verify_loops(
+                    m2, kf_id2, cand_ids, k_loop, cfg.loop,
+                    with_scale=not stereo, cam=cam,
+                ),
+                lambda: empty_batched_result(cand_ids.shape[0]),
+            )
 
-        m2, es2 = jax.lax.cond(lr.accepted, _close, lambda ops_: ops_, (m2, es2))
-        nloops = nloops + jnp.sum(lr.all_accepted).astype(jnp.int32)
-        loop_stats = jnp.stack([
-            lr.accepted.astype(f32), lr.best_cand.astype(f32),
-            lr.num_inliers.astype(f32), lr.scale,
+            def _close(ops_):
+                m_, es_ = ops_
+                # EVERY verified candidate becomes a constraint (multi-pass
+                # intersections close against several old keyframes at
+                # once). Mono edges carry the verified relative scale; the
+                # Sim(3) solver distributes scale drift along the chain.
+                for c in range(lr.all_accepted.shape[0]):
+                    w_c = jnp.clip(lr.all_inliers[c].astype(f32) / 12.0, 1.5, 6.0)
+                    es_ = _add_edge(
+                        es_, lr.all_cand[c], kf_id2, lr.all_T_rel[c], w_c,
+                        enabled=lr.all_accepted[c],
+                        s=lr.all_scale[c] if not stereo else 1.0,
+                    )
+                if stereo:
+                    m_, _cost = _run_pgo(m_, es_, cfg)
+                else:
+                    m_, es_, _cost = _run_pgo_sim3(m_, es_, cfg)
+                return m_, es_
+
+            m2, es2 = jax.lax.cond(lr.accepted, _close, lambda o: o, (m2, es2))
+            nloops = nloops + jnp.sum(lr.all_accepted).astype(jnp.int32)
+            loop_stats = jnp.stack([
+                lr.accepted.astype(f32), lr.best_cand.astype(f32),
+                lr.num_inliers.astype(f32), lr.scale,
+            ])
+        T_after = m2.kf_T_wc[kf_id2]
+        kf_stats = jnp.concatenate([
+            T_after.reshape(-1),
+            jnp.stack([kf_id2.astype(f32), n_p.astype(f32), n_l.astype(f32)]),
+            ba_stats, loop_stats, span_fb.astype(f32)[None],
+            jnp.ones((1,), f32),  # [26] made_kf
         ])
-    T_after = m2.kf_T_wc[kf_id2]
-    kf_stats = jnp.concatenate([
-        T_after.reshape(-1),
-        jnp.stack([kf_id2.astype(f32), n_p.astype(f32), n_l.astype(f32)]),
-        ba_stats, loop_stats, span_fb.astype(f32)[None],
-    ])
+        return (
+            m2, es2, kf_id2, feats_last, T_after,
+            jnp.asarray(0, jnp.int32),          # frames_since_kf resets
+            jnp.asarray(_SPAN_INIT, jnp.int32),  # span stats reset
+            jnp.asarray(0, jnp.int32),
+            nloops, kf_stats,
+        )
+
+    def _skip():
+        kf_stats = jnp.concatenate([
+            T_last.reshape(-1),
+            jnp.full((3,), -1.0, f32),           # kf_id / n_p / n_l: none
+            jnp.zeros((6,), f32),                # ba + loop stats
+            span_fb.astype(f32)[None],
+            jnp.zeros((1,), f32),                # [26] made_kf = 0
+        ])
+        return (
+            m, carry.es, kf_id, carry.kf_feats, T_last,
+            fsk, span_min, span_fb, carry.num_loops, kf_stats,
+        )
+
+    if cfg.frontend.chunk_adaptive_kf:
+        outs = jax.lax.cond(want_kf, _backend, _skip)
+    else:
+        # Fixed cadence (default): the backend block inlines unconditionally
+        # — identical program to round 4, no second branch compiled.
+        outs = _backend()
+    (m2, es2, kf_id2, kf_feats2, T_after, fsk2, span_min2, span_fb2,
+     nloops, kf_stats) = outs
     c2 = SlamCarry(
-        m=m2, es=es2, kf_feats=feats_last, T_cur=T_after, last_rel=last_rel,
-        kf_id=kf_id2, frames_since_kf=jnp.asarray(0, jnp.int32),
-        span_min_inl=jnp.asarray(_SPAN_INIT, jnp.int32),
-        span_fallbacks=jnp.asarray(0, jnp.int32),
+        m=m2, es=es2, kf_feats=kf_feats2, T_cur=T_after, last_rel=last_rel,
+        kf_id=kf_id2, frames_since_kf=fsk2,
+        span_min_inl=span_min2, span_fallbacks=span_fb2,
         num_loops=nloops, ring=ring, key=key,
     )
     return c2, (packed, kf_stats)
@@ -1081,18 +1184,15 @@ class SlamSystem:
                     ])
                 )
                 if bool(lr_arr[0]):
-                    if not self.stereo and abs(float(lr_arr[3]) - 1.0) > 0.02:
-                        # Mono scale drift: renormalize the recent map before
-                        # the SE(3) PGO (see _apply_loop_scale docstring).
-                        self.map, self.edges = _apply_loop_scale(
-                            self.map, self.edges, lr.best_cand, kf_id, lr.scale
-                        )
                     # EVERY verified candidate becomes an edge (multi-pass
                     # intersections close against several old keyframes).
                     # Edge information scales with verified support (a
                     # 60-inlier pixel-refined edge is far more accurate than
                     # a 12-inlier one); floor 1.5 keeps loop edges above the
-                    # odometry edges so closures actually correct.
+                    # odometry edges so closures actually correct. Mono
+                    # edges carry the verified relative scale and solve over
+                    # Sim(3) (_run_pgo_sim3) — scale drift distributes along
+                    # the chain instead of a uniform span renormalization.
                     for c in range(int(lr.all_accepted.shape[0])):
                         w_c = jnp.clip(
                             lr.all_inliers[c].astype(jnp.float32) / 12.0, 1.5, 6.0
@@ -1100,8 +1200,14 @@ class SlamSystem:
                         self.edges = _add_edge(
                             self.edges, lr.all_cand[c], kf_id, lr.all_T_rel[c],
                             w_c, enabled=lr.all_accepted[c],
+                            s=lr.all_scale[c] if not self.stereo else 1.0,
                         )
-                    self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
+                    if self.stereo:
+                        self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
+                    else:
+                        self.map, self.edges, pgo_cost = _run_pgo_sim3(
+                            self.map, self.edges, cfg
+                        )
                     self.T_cur = self.map.kf_T_wc[kf_id]
                     self.poses[-1] = np.asarray(self.T_cur, np.float32)
                     self.num_loops += int(lr_arr[4:].sum())
@@ -1177,7 +1283,12 @@ class SlamSystem:
             T_cur=jnp.asarray(self.T_cur), last_rel=jnp.asarray(self._last_rel),
             kf_id=jnp.asarray(self.kf_id, jnp.int32),
             frames_since_kf=jnp.asarray(self.frames_since_kf, jnp.int32),
-            span_min_inl=jnp.asarray(min(self._span_min_inl, 10**9), jnp.int32),
+            # jnp.minimum, not Python min: under the adaptive-cadence chunk
+            # path these mirrors may be DEVICE scalars carried from the
+            # previous chunk, and builtin min() would force a readback.
+            span_min_inl=jnp.minimum(
+                jnp.asarray(self._span_min_inl, jnp.int32), 10**9
+            ),
             span_fallbacks=jnp.asarray(self._span_fallbacks, jnp.int32),
             num_loops=nl,
             ring=self.metrics_ring, key=self.key,
@@ -1200,24 +1311,25 @@ class SlamSystem:
             self.stereo, feats_r_last,
         )
         # Adopt the new device state — plain handle swaps, no readback.
+        # Under the adaptive cadence the chunk may NOT have inserted a
+        # keyframe; frames_since_kf / span stats are device scalars carried
+        # from the chunk program, and the host keyframe-id mirror is
+        # reconstructed from the readback at ingest time (kf_stats[26] says
+        # whether a keyframe was made, kf_stats[16] which id).
         self.map, self.edges = carry.m, carry.es
         self.kf_feats = carry.kf_feats
         self.T_cur = carry.T_cur
         self._last_rel = carry.last_rel
         self.kf_id = carry.kf_id
-        self.frames_since_kf = 0
-        self._span_min_inl = 10 ** 9
-        self._span_fallbacks = 0
+        self.frames_since_kf = carry.frames_since_kf
+        self._span_min_inl = carry.span_min_inl
+        self._span_fallbacks = carry.span_fallbacks
         self.metrics_ring = carry.ring
         self.key = carry.key
         self._num_loops_dev = carry.num_loops
-        # Fixed cadence: the chunk program inserts exactly one keyframe, so
-        # the host keyframe-id mirror advances deterministically — no sync.
-        K = self.map.kf_T_wc.shape[0]
-        self._kf_id_host = min(self._kf_id_host + 1, K - 1)
 
         if self.defer_readback:
-            self._pending_chunks.append((n_real, packed, kf_stats, self._kf_id_host))
+            self._pending_chunks.append((n_real, packed, kf_stats))
             self._maybe_sync()
             return None
 
@@ -1225,24 +1337,31 @@ class SlamSystem:
         arr, ks = np.asarray(packed), np.asarray(kf_stats)
         self.num_loops = int(carry.num_loops)
         self._num_loops_dev = None
-        poses = self._ingest_chunk_outputs(arr, ks, self._kf_id_host)
+        poses = self._ingest_chunk_outputs(arr, ks)
         self._maybe_sync()
         return poses
 
-    def _ingest_chunk_outputs(
-        self, arr: np.ndarray, ks: np.ndarray, kf_after: int
-    ) -> np.ndarray:
-        """Host bookkeeping for one chunk's (packed, kf_stats) readback."""
-        kf_before = kf_after - 1  # chunk-start keyframe id
+    def _ingest_chunk_outputs(self, arr: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        """Host bookkeeping for one chunk's (packed, kf_stats) readback.
+
+        Advances the host keyframe-id mirror (`_kf_id_host`) from the
+        readback itself: kf_stats[26] says whether this chunk inserted a
+        keyframe, kf_stats[16] its id — correct under both the fixed and
+        the adaptive chunk cadence."""
+        kf_before = self._kf_id_host  # chunk-start keyframe id
+        made_kf = ks[26] > 0
+        kf_after = int(ks[16]) if made_kf else kf_before
         poses = arr[:, :16].reshape(-1, 4, 4).astype(np.float32)
-        poses[-1] = ks[:16].reshape(4, 4).astype(np.float32)  # refined
+        if made_kf:
+            poses[-1] = ks[:16].reshape(4, 4).astype(np.float32)  # refined
         for f, (r, pose) in enumerate(zip(arr, poses)):
             self.poses.append(pose)
             last = f == len(arr) - 1
             stat = {
-                "inliers": int(r[32]), "tracked": int(r[33]), "kf": last,
+                "inliers": int(r[32]), "tracked": int(r[33]),
+                "kf": last and made_kf,
             }
-            if last:
+            if last and made_kf:
                 stat["new_points"] = int(ks[17])
                 stat["new_lines"] = int(ks[18])
                 if self.enable_ba:
@@ -1258,6 +1377,7 @@ class SlamSystem:
                     (kf_before, r[16:32].reshape(4, 4).astype(np.float32))
                 )
             self.stats.append(stat)
+        self._kf_id_host = kf_after
         return poses
 
     def global_ba(self, iters: int = 12) -> float:
@@ -1277,7 +1397,10 @@ class SlamSystem:
         while W < kfc:
             W *= 2
         W = min(W, cap)
-        self.map, cost = _global_ba(self.map, self.cfg, self.cam, W, iters)
+        self.map, cost = _global_ba(
+            self.map, self.cfg, self.cam, W, iters,
+            num_fixed=1 if self.stereo else 2,
+        )
         return float(np.asarray(cost[-1]))
 
     def flush_chunks(self) -> None:
@@ -1298,26 +1421,26 @@ class SlamSystem:
         # One flat device concat -> one transfer (each D->H pays a ~50-100 ms
         # fixed tunnel cost, so per-chunk reads would dominate).
         flat = jnp.concatenate(
-            [p.reshape(-1) for _, p, _, _ in pend]
-            + [k.reshape(-1) for _, _, k, _ in pend]
+            [p.reshape(-1) for _, p, _ in pend]
+            + [k.reshape(-1) for _, _, k in pend]
             + [nl.astype(jnp.float32)[None]]
         )
         host = np.asarray(flat)
         off = 0
         arrs = []
-        for n, p, _, _ in pend:
+        for n, p, _ in pend:
             sz = int(np.prod(p.shape))
             arrs.append(host[off: off + sz].reshape(p.shape))
             off += sz
         kss = []
-        for _, _, k, _ in pend:
+        for _, _, k in pend:
             sz = int(np.prod(k.shape))
             kss.append(host[off: off + sz].reshape(k.shape))
             off += sz
         self.num_loops = int(host[off])
         self._num_loops_dev = None
-        for (n, _, _, kf_after), arr, ks in zip(pend, arrs, kss):
-            self._ingest_chunk_outputs(arr, ks, kf_after)
+        for arr, ks in zip(arrs, kss):
+            self._ingest_chunk_outputs(arr, ks)
 
     def resync(self) -> None:
         """Re-establish pipelined dispatch after a host readback on the
@@ -1331,15 +1454,22 @@ class SlamSystem:
         if not hostsync.is_tunneled():
             return
         self.flush_chunks()
+        # frames_since_kf / span mirrors may be device scalars under the
+        # adaptive chunk cadence — they must ride the reset round-trip too
+        # (any device buffer not re-uploaded dies with the client).
         state = (
             self.map, self.edges, self.kf_feats, self.T_cur, self._last_rel,
             self.kf_id, self.metrics_ring, self.key, self._vocab,
+            jnp.asarray(self.frames_since_kf, jnp.int32),
+            jnp.asarray(self._span_min_inl, jnp.int32),
+            jnp.asarray(self._span_fallbacks, jnp.int32),
         )
         host = jax.device_get(state)
         hostsync.reset_client(retain_executables=True)
         (
             self.map, self.edges, self.kf_feats, self.T_cur, self._last_rel,
             self.kf_id, self.metrics_ring, self.key, self._vocab,
+            self.frames_since_kf, self._span_min_inl, self._span_fallbacks,
         ) = jax.device_put(host)
 
     def trajectory(self) -> np.ndarray:

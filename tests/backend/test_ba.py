@@ -13,71 +13,13 @@ import pytest
 from laneslam.backend.ba import BAProblem, ba_solve, ba_solve_unreduced
 from laneslam.config import BaConfig
 from laneslam.geometry import se3, so3
-from laneslam.geometry.camera import Camera, project_points
+from laneslam.geometry.camera import project_points
 from laneslam.geometry.lines import plucker_from_endpoints, plucker_normalize
 
-CAM = Camera(fx=400.0, fy=400.0, cx=320.0, cy=240.0, width=640, height=480)
-
-
-def make_problem(key, W=4, Np=40, Nl=12, noise_px=0.0, cam=CAM):
-    """World in front of a short forward-moving trajectory; exact projections."""
-    CAM_ = cam
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    X = jax.random.normal(k1, (Np, 3)) * jnp.array([3.0, 2.0, 1.5]) + jnp.array([0, 0, 8.0])
-    e1 = jax.random.normal(k2, (Nl, 3)) * jnp.array([2.5, 1.5, 1.0]) + jnp.array([0, 0, 7.0])
-    e2 = e1 + jax.random.normal(k3, (Nl, 3)) * 1.5
-    L = plucker_normalize(plucker_from_endpoints(e1, e2))
-
-    # Poses: forward motion with small rotations; T_wc then invert.
-    ts = jnp.stack(
-        [0.2 * jnp.arange(W), 0.02 * jnp.arange(W), 0.4 * jnp.arange(W)], axis=-1
-    )
-    ws = 0.02 * jax.random.normal(k4, (W, 3))
-    T_wc = se3.make(so3.exp(ws), ts)
-    T_cw = se3.inverse(T_wc)
-
-    # Observations: every pose observes every landmark (exact projections).
-    pt_w = jnp.tile(jnp.arange(W), Np)  # (W*Np,) pose index
-    pt_p = jnp.repeat(jnp.arange(Np), W)
-    uv, z = project_points(CAM_, se3.transform_points(T_cw[pt_w], X[pt_p]))
-    pt_valid = z > 0.1
-
-    ln_w = jnp.tile(jnp.arange(W), Nl)
-    ln_l = jnp.repeat(jnp.arange(Nl), W)
-    uv1, z1 = project_points(CAM_, se3.transform_points(T_cw[ln_w], e1[ln_l]))
-    uv2, z2 = project_points(CAM_, se3.transform_points(T_cw[ln_w], e2[ln_l]))
-    ln_seg = jnp.concatenate([uv1, uv2], axis=-1)
-    ln_valid = (z1 > 0.1) & (z2 > 0.1)
-
-    if noise_px > 0:
-        kn = jax.random.PRNGKey(99)
-        uv = uv + noise_px * jax.random.normal(kn, uv.shape)
-        ln_seg = ln_seg + noise_px * jax.random.normal(kn, ln_seg.shape)
-
-    prob = BAProblem(
-        T_cw=T_cw,  # start at GT; tests perturb copies
-        points=X,
-        lines=L,
-        pt_w=pt_w, pt_p=pt_p, pt_uv=uv, pt_valid=pt_valid,
-        ln_w=ln_w, ln_l=ln_l, ln_seg=ln_seg, ln_valid=ln_valid,
-    )
-    return prob, (T_cw, X, L)
-
-
-def perturb(prob, key, pose_scale=0.02, pt_scale=0.05, ln_scale=0.02, num_fixed=1):
-    k1, k2, k3 = jax.random.split(key, 3)
-    W = prob.T_cw.shape[0]
-    xi = pose_scale * jax.random.normal(k1, (W, 6))
-    xi = xi.at[:num_fixed].set(0.0)  # keep the gauge anchors at GT
-    from laneslam.geometry.lines import plucker_retract
-
-    return prob._replace(
-        T_cw=se3.retract(prob.T_cw, xi),
-        points=prob.points + pt_scale * jax.random.normal(k2, prob.points.shape),
-        lines=plucker_retract(
-            prob.lines, ln_scale * jax.random.normal(k3, (prob.lines.shape[0], 4))
-        ),
-    )
+from laneslam.testing import (
+    TEST_CAM as CAM, make_ba_problem as make_problem,
+    perturb_ba_problem as perturb,
+)
 
 
 class TestBA:

@@ -9,34 +9,7 @@ from laneslam.config import PgoConfig
 from laneslam.geometry import se3, so3
 
 
-def circle_graph(N=40, drift=0.02, key=jax.random.PRNGKey(0)):
-    """GT poses on a circle; odometry measurements exact, initial guess drifted."""
-    angles = jnp.linspace(0, 2 * jnp.pi, N, endpoint=False)
-    R = 10.0
-    pos = jnp.stack([R * jnp.cos(angles), jnp.zeros(N), R * jnp.sin(angles)], axis=-1)
-    yaw = angles + jnp.pi / 2
-    Rm = so3.exp(jnp.stack([jnp.zeros(N), yaw, jnp.zeros(N)], axis=-1))
-    T_gt = se3.make(Rm, pos)
-
-    # Exact relative measurements along the chain + the loop edge N-1 -> 0.
-    idx_i = jnp.arange(N)
-    idx_j = jnp.concatenate([jnp.arange(1, N), jnp.array([0])])
-    T_meas = se3.inverse(T_gt[idx_i]) @ T_gt[idx_j]
-
-    # Drifted initial guess: integrate noisy odometry from node 0.
-    noise = drift * jax.random.normal(key, (N, 6))
-    T_init = [T_gt[0]]
-    for k in range(1, N):
-        T_init.append(T_init[-1] @ T_meas[k - 1] @ se3.exp(noise[k]))
-    T_init = jnp.stack(T_init)
-    return PgoProblem(
-        T_wc=T_init,
-        node_valid=jnp.ones(N, bool),
-        edge_i=idx_i,
-        edge_j=idx_j,
-        edge_T=T_meas,
-        edge_weight=jnp.ones(N),
-    ), T_gt
+from laneslam.testing import circle_graph
 
 
 def test_pgo_zero_at_gt():

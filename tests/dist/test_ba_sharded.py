@@ -98,7 +98,11 @@ def test_sharded_solve_converges(mesh8):
     prob, (T_gt, X_gt, _) = make_problem(jax.random.PRNGKey(6), W=4, Np=40, Nl=16)
     prob = _pad_problem(prob)
     pert = perturb(prob, jax.random.PRNGKey(7), num_fixed=2)
-    cfg = BaConfig(gn_iters=14, damping=1e-4)
+    # 18 iters: the LM damping search's rejected-trial count is fp-path
+    # sensitive (the compact per-block buckets changed reduction shapes in
+    # round 5, shifting a couple of accept/reject flips); the invariants
+    # asserted — monotonicity and deep convergence — are not.
+    cfg = BaConfig(gn_iters=18, damping=1e-4)
     out, costs = ba_solve_sharded(pert, CAM, mesh8, cfg, num_fixed_poses=2)
     c = np.asarray(costs)
     assert np.all(np.diff(c) <= 1e-6 * c[0]), c  # monotone (accept/reject)
@@ -119,31 +123,62 @@ def _pad_obs(prob, n=8):
 
 
 def test_a2a_reshard_matches_host_bucketing_step(mesh8):
-    """P6 on-device reshard (shard_problem_a2a): the all_to_all-built
-    landmark-major layout must produce the SAME sharded GN step results as
-    the argsort bucketing (order inside a bucket differs; GN sums do not)."""
+    """P6 on-device reshard (shard_problem_a2a): the all_to_all routing must
+    place exactly the same valid observations in each landmark block as the
+    host argsort bucketing, and a GN step from a PERTURBED state must land
+    where the single-device step lands for both layouts.
+
+    (The round-4 version of this test stepped from the GT state, where
+    residuals are ~0 and the near-singular 4x4 line Hessians at damping
+    1e-6 amplify float32 rounding into O(5) line deltas — it only passed
+    because both layouts shared identical buffer shapes, hence identical
+    rounding. Routing equivalence is asserted EXACTLY on the bucketed
+    content instead; step equivalence on a well-posed perturbed problem.)"""
     from laneslam.dist.ba_tp import shard_problem_a2a
 
     prob, _ = make_problem(jax.random.PRNGKey(2), W=4, Np=40, Nl=16)
     problem = _pad_obs(_pad_problem(prob))
     cam = CAM
-    cfg = BaConfig(window_size=4, gn_iters=1)
+    cfg = BaConfig(window_size=4, gn_iters=1, damping=1e-3, huber_px=1e9)
     mesh = mesh8
-    sp_host = shard_problem(problem, 8)
-    sp_a2a = shard_problem_a2a(problem, mesh)
-    # Same live observation sets per block (as multisets of (w, p) pairs).
-    for name in ("pt_valid", "ln_valid"):
-        assert int(getattr(sp_host, name).sum()) == int(getattr(sp_a2a, name).sum())
+    pert = perturb(problem, jax.random.PRNGKey(3), num_fixed=2)
+    sp_host = shard_problem(pert, 8)
+    sp_a2a = shard_problem_a2a(pert, mesh)
+
+    # --- exact routing equivalence: per block, the multiset of valid
+    # (pose, local-landmark, uv...) observation tuples is identical.
+    def content(sp, w, p, uv, valid):
+        out = []
+        for b in range(8):
+            v = np.asarray(getattr(sp, valid)[b])
+            rows = np.stack(
+                [np.asarray(getattr(sp, w)[b])[v],
+                 np.asarray(getattr(sp, p)[b])[v]], axis=-1
+            )
+            extra = np.asarray(getattr(sp, uv)[b])[v].reshape(len(rows), -1)
+            rows = np.concatenate([rows.astype(np.float64), extra], axis=-1)
+            out.append(rows[np.lexsort(rows.T[::-1])])
+        return out
+    for args in (("pt_w", "pt_p", "pt_uv", "pt_valid"),
+                 ("ln_w", "ln_l", "ln_seg", "ln_valid")):
+        for b, (rh, ra) in enumerate(zip(content(sp_host, *args),
+                                         content(sp_a2a, *args))):
+            np.testing.assert_allclose(rh, ra, err_msg=f"block {b} {args[0]}")
+
+    # --- step equivalence on the perturbed (well-posed) problem.
+    out_single, _ = ba_solve(pert, CAM, cfg, num_fixed_poses=2)
     lam = jnp.asarray(cfg.damping, jnp.float32)
-    out_h, cost_h, _ = ba_gn_step_sharded(sp_host, lam, cam, mesh, cfg, 1)
-    out_a, cost_a, _ = ba_gn_step_sharded(sp_a2a, lam, cam, mesh, cfg, 1)
+    out_h, cost_h, _ = ba_gn_step_sharded(sp_host, lam, cam, mesh, cfg, 2)
+    out_a, cost_a, _ = ba_gn_step_sharded(sp_a2a, lam, cam, mesh, cfg, 2)
     np.testing.assert_allclose(float(cost_h), float(cost_a), rtol=1e-5)
-    Th, ph, lh = unshard(out_h)
-    Ta, pa, la = unshard(out_a)
-    np.testing.assert_allclose(np.asarray(Th), np.asarray(Ta), atol=1e-3)
-    # Bulk agreement (see the near-singular-landmark caveat in the test
-    # above for why raw elementwise comparison is brittle).
-    d_pt = np.linalg.norm(np.asarray(ph) - np.asarray(pa), axis=-1)
-    assert np.quantile(d_pt, 0.9) < 1e-3, np.sort(d_pt)[-5:]
-    d_ln = np.abs(np.asarray(lh) - np.asarray(la)).max(-1)
-    assert np.quantile(d_ln, 0.9) < 1e-3, np.sort(d_ln)[-5:]
+    for out_sp in (out_h, out_a):
+        T, pts, lns = unshard(out_sp)
+        np.testing.assert_allclose(
+            np.asarray(T), np.asarray(out_single.T_cw), atol=2e-3
+        )
+        d_pt = np.linalg.norm(
+            np.asarray(pts) - np.asarray(out_single.points), axis=-1
+        )
+        assert np.median(d_pt) < 5e-3 and np.quantile(d_pt, 0.9) < 5e-2
+        d_ln = np.abs(np.asarray(lns) - np.asarray(out_single.lines)).max(-1)
+        assert np.median(d_ln) < 5e-3 and np.quantile(d_ln, 0.9) < 5e-2

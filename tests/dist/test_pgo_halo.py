@@ -17,40 +17,7 @@ from laneslam.dist.pgo_sp import pgo_solve_sharded, pgo_solve_sharded_halo
 from laneslam.geometry import se3
 
 
-def _chain_with_loops(N, E_cap, drift=0.02, loops=((0, None),), seed=0):
-    """Noisy pose chain + loop edges. loops: (i, j) pairs; j=None -> N-1."""
-    key = jax.random.PRNGKey(seed)
-    # Ground truth: poses along a circle (so loop edges are informative).
-    ang = jnp.linspace(0, 2 * jnp.pi * (N - 1) / N, N)
-    R = 5.0
-    gt = jax.vmap(
-        lambda a: se3.make(
-            jnp.eye(3), jnp.stack([R * jnp.cos(a), R * jnp.sin(a), 0.1 * a])
-        )
-    )(ang)
-    # Odometry measurements from GT; initial guess = GT perturbed by drift.
-    ei, ej, eT, ew = [], [], [], []
-    for k in range(N - 1):
-        ei.append(k); ej.append(k + 1)
-        eT.append(se3.inverse(gt[k]) @ gt[k + 1]); ew.append(1.0)
-    for (i, j) in loops:
-        j = N - 1 if j is None else j
-        ei.append(i); ej.append(j)
-        eT.append(se3.inverse(gt[i]) @ gt[j]); ew.append(3.0)
-    E = len(ei)
-    assert E <= E_cap
-    pad = E_cap - E
-    ei = jnp.asarray(ei + [0] * pad, jnp.int32)
-    ej = jnp.asarray(ej + [0] * pad, jnp.int32)
-    eT = jnp.stack(eT + [jnp.eye(4)] * pad)
-    ew = jnp.asarray(ew + [0.0] * pad, jnp.float32)
-    noise = jax.random.normal(key, (N, 6)) * drift
-    noise = noise.at[0].set(0.0)
-    T0 = jax.vmap(lambda T, x: T @ se3.exp(x))(gt, noise)
-    return PgoProblem(
-        T_wc=T0, node_valid=jnp.ones((N,), bool),
-        edge_i=ei, edge_j=ej, edge_T=eT, edge_weight=ew,
-    )
+from laneslam.testing import chain_with_loops as _chain_with_loops
 
 
 @pytest.mark.parametrize("loops", [((0, None),), ((0, None), (3, 19), (8, 27))])

@@ -75,3 +75,52 @@ def test_chunk_parity_with_per_frame_path():
     # Deferred bookkeeping reconstructed the same stats schema.
     assert len(sys_b.stats) > 0 and len(sys_b.poses) == n
     assert int(sys_b.edges.overflow) == 0
+
+
+@pytest.mark.slow
+def test_adaptive_chunk_keyframing_fewer_kfs_equal_ate():
+    """VERDICT r4 #4: with chunk_adaptive_kf the chunk path keyframes at
+    <= 1 per chunk, decided by the span's signals. On a well-tracked
+    corridor with a loose interval, it must produce materially FEWER
+    keyframes than the fixed cadence at comparable ATE (fixed cadence
+    bloats the map on low-motion spans)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    n = 64
+    scene = make_corridor_scene(seed=3, num_frames=n)
+    frames = [np.asarray(render_scene_frame(scene, i)) for i in range(n)]
+    cam = _cam_of(scene)
+    gt = jnp.asarray(scene.poses_wc[:n])
+
+    def run(adaptive):
+        cfg = SlamConfig()
+        cfg = cfg.override(frontend=dataclasses.replace(
+            cfg.frontend, chunk_adaptive_kf=adaptive, kf_max_interval=24,
+        ))
+        s = SlamSystem(cfg, cam, enable_loop=True, enable_ba=True)
+        s.defer_readback = True
+        i = 0
+        while not s.bootstrapped or i < 4:
+            s.process_frame(frames[i])
+            i += 1
+        s.resync()
+        chunk = cfg.frontend.chunk_frames
+        while i + chunk <= n:
+            s.process_chunk(np.stack(frames[i:i + chunk]))
+            i += chunk
+        for k in range(i, n):
+            s.process_frame(frames[k])
+        s.flush_chunks()
+        traj = s.trajectory()
+        ate, _ = ate_rmse(jnp.asarray(traj), gt[: len(traj)], align_scale=True)
+        return int(s.map.kf_count), float(ate), traj
+
+    kf_fixed, ate_fixed, _ = run(False)
+    kf_adapt, ate_adapt, traj = run(True)
+    assert np.all(np.isfinite(traj))
+    # Fixed cadence: 1 KF per 8-frame chunk. Adaptive with interval 24:
+    # roughly one per 3 chunks on this well-tracked scene.
+    assert kf_adapt <= kf_fixed - 3, (kf_adapt, kf_fixed)
+    assert ate_adapt < max(2.5 * ate_fixed, 0.6), (ate_adapt, ate_fixed)

@@ -55,3 +55,22 @@ def test_schur_reduce_zero_blocks_no_nan():
         Hinv, S, gr = fn(Hd, g, B)
         assert jnp.isfinite(Hinv).all()
         assert jnp.allclose(S, 0.0) and jnp.allclose(gr, 0.0)
+
+
+def test_pallas_tile_budget():
+    """VMEM-budgeted tile sizing (round-5 fix: global BA at W=128 compiled a
+    19 MB scoped-vmem kernel, over the 16 MB limit). The production window
+    (W=8) keeps the full 512 tile; W=128 shrinks the tile; W=512's S
+    accumulator alone exceeds VMEM -> 0 (dispatcher falls back to XLA)."""
+    from laneslam.kernels.schur import _pallas_tile_n
+
+    assert _pallas_tile_n(4, 48) >= 512
+    assert _pallas_tile_n(3, 48) >= 512
+    nt = _pallas_tile_n(4, 768)
+    assert 128 <= nt <= 384, nt
+    # Calibration: the observed 18.99 MB compile failure case must be
+    # rejected at its original tile.
+    fixed = 2 * (768 * 768 + 768) * 4
+    per_n = 4 * (2 * 4 * 768 + 768 + 4 * 16 + 8)
+    assert abs((fixed + per_n * 512) - 18.99e6) < 0.3e6
+    assert _pallas_tile_n(4, 3072) == 0
