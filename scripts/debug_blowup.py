@@ -24,6 +24,14 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=10)
     ap.add_argument("--check-every", type=int, default=20, dest="check_every")
     ap.add_argument("--no-loop", action="store_true", dest="no_loop")
+    ap.add_argument("--stop-after", type=int, default=0, dest="stop_after",
+                    help="process only the first N chunks (scene geometry "
+                         "still comes from --frames/--laps, so a truncated "
+                         "run sees the SAME trajectory as the full one)")
+    ap.add_argument("--ckpt-dir", default="", dest="ckpt_dir",
+                    help="save a full system checkpoint at every check "
+                         "(post-mortem: load the state preceding the "
+                         "divergent chunk and dissect on host)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +74,7 @@ def main() -> int:
     chunk = args.chunk
     ci = 0
     stat_cursor = 0
-    while i + chunk <= n:
+    while i + chunk <= n and (args.stop_after <= 0 or ci < args.stop_after):
         s.process_chunk(frames[i:i + chunk])
         i += chunk
         ci += 1
@@ -78,7 +86,8 @@ def main() -> int:
             events = [
                 (j, st) for j, st in enumerate(s.stats[stat_cursor:],
                                                start=stat_cursor)
-                if "loop" in st or st.get("ba_costN", 0) > 1e5
+                if "loop" in st or "reloc" in st
+                or st.get("ba_costN", 0) > 1e5
             ]
             for j, st in events[-6:]:
                 print(f"  stat[{j}]: {st}", flush=True)
@@ -86,6 +95,13 @@ def main() -> int:
             print(f"[dbg] chunk {ci} frame {i} kf {kfc} "
                   f"max|t| {np.abs(kt).max():.3f} finite={finite} "
                   f"loops={s.num_loops}", flush=True)
+            if args.ckpt_dir:
+                from laneslam.runtime.checkpoint import save_system_state
+
+                os.makedirs(args.ckpt_dir, exist_ok=True)
+                save_system_state(
+                    os.path.join(args.ckpt_dir, f"chunk_{ci:04d}.ckpt"), s
+                )
             if not finite:
                 print("[dbg] DIVERGED — last stats above", flush=True)
                 return 1

@@ -80,6 +80,7 @@ def main():
             frames_since_kf=jnp.asarray(0, jnp.int32),
             span_min_inl=jnp.asarray(_SPAN_INIT, jnp.int32),
             span_fallbacks=jnp.asarray(0, jnp.int32),
+            unhealthy_chunks=jnp.asarray(0, jnp.int32),
             num_loops=jnp.asarray(sys_.num_loops, jnp.int32),
             ring=sys_.metrics_ring, key=sys_.key,
         )

@@ -135,16 +135,6 @@ def main() -> int:
     ate, _ = ate_rmse(jnp.asarray(traj), jnp.asarray(gt), align_scale=True)
     # None (-> JSON null) when --global-ba is off: a NaN literal is not
     # valid strict JSON and breaks downstream parsers (ADVICE r4).
-    ate_gba = None
-    t_gba = None
-    if args.global_ba:
-        t0 = time.perf_counter()
-        sys_.global_ba()
-        t_gba = round(time.perf_counter() - t0, 2)
-        a, _ = ate_rmse(
-            jnp.asarray(sys_.trajectory()), jnp.asarray(gt), align_scale=True
-        )
-        ate_gba = round(float(a), 4)
     result = {
         "frames": n,
         "laps": args.laps,
@@ -153,15 +143,26 @@ def main() -> int:
         "lines": int(sys_.map.ln_count),
         "loops": int(sys_.num_loops),
         "ate_rmse_sim3": round(float(ate), 4),
-        "ate_rmse_sim3_after_global_ba": ate_gba,
-        "global_ba_s": t_gba,
+        "ate_rmse_sim3_after_global_ba": None,
+        "global_ba_s": None,
         "steady_fps": round(fps, 1),
         "pt_overflow": int(sys_.map.pt_overflow),
         "ln_overflow": int(sys_.map.ln_overflow),
         "edge_overflow": int(sys_.edges.overflow),
         "finite": bool(np.all(np.isfinite(traj))),
     }
-    print("REHEARSAL " + json.dumps(result))
+    # Pre-global-BA record printed FIRST: a global-BA failure (e.g. an OOM
+    # at an untried window bucket) must not lose the run's measurements.
+    print("REHEARSAL " + json.dumps(result), flush=True)
+    if args.global_ba:
+        t0 = time.perf_counter()
+        sys_.global_ba()
+        result["global_ba_s"] = round(time.perf_counter() - t0, 2)
+        a, _ = ate_rmse(
+            jnp.asarray(sys_.trajectory()), jnp.asarray(gt), align_scale=True
+        )
+        result["ate_rmse_sim3_after_global_ba"] = round(float(a), 4)
+        print("REHEARSAL " + json.dumps(result), flush=True)
     return 0
 
 

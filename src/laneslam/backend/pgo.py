@@ -222,6 +222,17 @@ class PgoSim3Problem(NamedTuple):
     edge_T: jnp.ndarray  # (E, 4, 4) measured relative R | t
     edge_s: jnp.ndarray  # (E,) measured relative scale
     edge_weight: jnp.ndarray  # (E,) 0 = invalid slot
+    # Per-edge weight MULTIPLIER on the log-scale residual component
+    # (None = 1 everywhere). On a near-chain graph the per-node scale is
+    # the underconstrained direction: the solver can oscillate node scales
+    # +-15% to soak up translation noise (measured round 5 — the production
+    # blowup), because scaling node i reshapes its predicted translations
+    # (1/s_i) R_i^T (t_j - t_i). Odometry edges are locally scale-consistent
+    # to well under a percent, so their scale residual deserves FAR more
+    # information than their translation residual; weighting it (e.g. 8x)
+    # suppresses the oscillation while a genuine loop-closure scale still
+    # distributes smoothly along the chain (1-2% per edge costs little).
+    edge_scale_w: jnp.ndarray | None = None
 
 
 def _edge_linearize_sim3(problem: PgoSim3Problem):
@@ -247,6 +258,14 @@ def _edge_linearize_sim3(problem: PgoSim3Problem):
             lambda xi, xj: res(a, b, c, d, e, f, xi, xj), (0, 1)
         )(z, z)
     )(Ti, si, Tj, sj, *Sm_inv)
+    if problem.edge_scale_w is not None:
+        # Whiten the log-scale component (index 6) per edge: scales the
+        # residual row and the matching Jacobian rows identically, which is
+        # exactly a per-component information weight.
+        k = jnp.sqrt(problem.edge_scale_w)
+        r = r.at[:, 6].multiply(k)
+        Ji = Ji.at[:, 6, :].multiply(k[:, None])
+        Jj = Jj.at[:, 6, :].multiply(k[:, None])
     return r, Ji, Jj
 
 
@@ -263,6 +282,8 @@ def _edge_cost_sim3(T_wc, s_wc, problem: "PgoSim3Problem", cfg: PgoConfig):
         T_wc[problem.edge_i], s_wc[problem.edge_i],
         T_wc[problem.edge_j], s_wc[problem.edge_j], *Sm_inv
     )
+    if problem.edge_scale_w is not None:
+        r = r.at[:, 6].multiply(jnp.sqrt(problem.edge_scale_w))
     w = (
         _huber_w(r, cfg.huber)
         * problem.edge_weight

@@ -90,6 +90,11 @@ class PgoConfig:
     # measured on the scale-drift fixture, cap 1.0 truncated the solution
     # path (stalled at 0.83 m vs GT) while cap >= 2.0 recovers GT (0.02 m).
     step_cap: float = 4.0
+    # Mono production loop-closure solver: True = Sim(3) (_run_pgo_sim3,
+    # distributes scale drift along the chain); False = SE(3) PGO + uniform
+    # span renormalization (the round-4 behavior, kept as an ablation /
+    # fallback switch). Stereo always uses SE(3).
+    mono_sim3: bool = True
 
 
 @dataclass(frozen=True)
@@ -142,6 +147,18 @@ class FrontendConfig:
     # explicit loop closure provides anyway. The fused chunk path
     # (configs 2/3 throughput mode) enables this.
     track_local_landmarks: bool = False
+    # Tracking-loss recovery (relocalization, SURVEY C18). Once the
+    # consecutive-fallback count reaches `reloc_after`, the chunk path
+    # runs a cond-gated relocalization stage: KF-database retrieval of the
+    # most similar keyframe (one IDF GEMV), ungated guided matching against
+    # its observations, PnP — and on >= `reloc_min_inliers` support snaps
+    # the tracker to the solved pose. Measured round 5: without this, a
+    # transient tracking loss (low-texture span) left the system
+    # integrating the motion model forever, and the garbage-scale landmarks
+    # born along the way compounded |t| exponentially until overflow.
+    # 0 disables.
+    reloc_after: int = 8
+    reloc_min_inliers: int = 25
 
 
 @dataclass(frozen=True)

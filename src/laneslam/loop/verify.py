@@ -222,9 +222,17 @@ def _verify_one(
         (corr_t <= jnp.maximum(cfg.max_correction_frac * arc, cfg.max_correction_m))
         & (corr_deg <= cfg.max_correction_deg)
     )
+    # Scale leg of the same gate (round 5): mono scale drift accumulates a
+    # few percent per lap, so an extreme fitted scale is evidence of a
+    # false consensus, not a huge drift — unless the support is strong.
+    # (Measured: a scale-1.82 edge at 21 inliers warped the rehearsal map
+    # until tracking collapsed; true closures fit 0.92-1.05.)
+    scale_sane = (jnp.abs(jnp.log(jnp.maximum(s_rel, 1e-6))) <= 0.25) | (
+        num >= 2 * cfg.min_inliers
+    )
 
     return LoopResult(
-        accepted=(num >= cfg.min_inliers) & ok_m[best] & consistent,
+        accepted=(num >= cfg.min_inliers) & ok_m[best] & consistent & scale_sane,
         T_rel=T_rel,
         num_inliers=num,
         scale=s_rel,

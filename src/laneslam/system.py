@@ -250,8 +250,16 @@ def _make_keyframe(
     vocab: jnp.ndarray,
     cfg: SlamConfig,
     cam: Camera,
+    allow_new=True,
 ):
-    """Triangulate new landmarks vs the previous keyframe and insert a KF."""
+    """Triangulate new landmarks vs the previous keyframe and insert a KF.
+
+    `allow_new` (traced bool): when False, the keyframe is a REFERENCE
+    REFRESH only — tracked observations are recorded but no landmarks are
+    triangulated. Used during sustained tracking loss: a keyframe pose from
+    the motion model drifts boundedly, but landmarks triangulated from a
+    garbage baseline carry garbage SCALE, which feeds the next PnP and
+    compounds |t| exponentially (the round-5 rehearsal blowup)."""
     T_wc_prev = m.kf_T_wc[kf_prev]
     pm = match_points(kf_feats.points, kf_feats.point_desc, cur.points, cur.point_desc, cfg.match)
     lmm = match_lines(kf_feats.segments, kf_feats.line_desc, cur.segments, cur.line_desc, cfg.match)
@@ -270,6 +278,7 @@ def _make_keyframe(
         pm.valid & (lm_of_slot < 0) & okX
         & (depth_prev > 0.2) & (depth_prev < 200.0)
         & (par > cfg.frontend.min_parallax_deg)
+        & allow_new
     )
     m, new_ids = ops.add_points(
         m, X_new, kf_feats.point_desc, is_new, jnp.full(X_new.shape[0], m.kf_count, jnp.int32)
@@ -295,7 +304,7 @@ def _make_keyframe(
     seg_prev = kf_feats.segments.xyxy
     seg_cur = cur.segments.xyxy[jnp.maximum(lmm.idx, 0)]
     L_new, okL = triangulate_lines(cam, T_wc_prev, T_wc_cur, seg_prev, seg_cur)
-    is_new_l = lmm.valid & (ln_of_slot < 0) & okL
+    is_new_l = lmm.valid & (ln_of_slot < 0) & okL & allow_new
     m, new_lids = ops.add_lines(
         m, L_new, kf_feats.line_desc, is_new_l, jnp.full(L_new.shape[0], m.kf_count, jnp.int32)
     )
@@ -369,8 +378,13 @@ def _make_keyframe_stereo(
     vocab: jnp.ndarray,
     cfg: SlamConfig,
     cam: Camera,
+    allow_new=True,
 ):
-    """Stereo keyframe: landmarks born metric from one stereo pair."""
+    """Stereo keyframe: landmarks born metric from one stereo pair.
+
+    `allow_new` as in _make_keyframe: stereo depth itself is metric, but a
+    lost tracker's T_wc places the born landmarks at garbage world
+    positions — reference-refresh only while tracking is lost."""
     from laneslam.geometry.camera import backproject
     from laneslam.geometry.lines import plucker_from_endpoints, plucker_normalize
 
@@ -381,6 +395,7 @@ def _make_keyframe_stereo(
     is_new = (
         depths.pt_valid & (tracked_lm < 0) & cur.points.valid
         & (depths.pt_depth > 0.2) & (depths.pt_depth < 120.0)
+        & allow_new
     )
     m, new_ids = ops.add_points(
         m, X_w, cur.point_desc, is_new, jnp.full(X_w.shape[0], m.kf_count, jnp.int32)
@@ -400,6 +415,7 @@ def _make_keyframe_stereo(
         depths.ln_valid & (tracked_ln < 0) & cur.segments.valid
         & jnp.all(depths.ln_depth12 > 0.2, axis=-1)
         & jnp.all(depths.ln_depth12 < 120.0, axis=-1)
+        & allow_new
     )
     m, new_lids = ops.add_lines(
         m, L_w, cur.line_desc, ln_new, jnp.full(L_w.shape[0], m.kf_count, jnp.int32)
@@ -435,6 +451,13 @@ def _window_ba(m: MapState, cfg: SlamConfig, cam: Camera, num_fixed: int = 2):
     return m, info.cost
 
 
+# Above this window size _global_ba switches from the dense-Schur solver to
+# the matrix-free implicit-Schur PCG (backend/ba_implicit.py): the dense
+# coupling tensor B (N, W, 6, d) at W=64 with production landmark capacity
+# is already ~1.5 GB padded; the implicit path's memory is O(observations).
+_IMPLICIT_MIN_W = 32
+
+
 @partial(jax.jit, static_argnames=("cfg", "cam", "W", "iters", "num_fixed"))
 def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int,
                num_fixed: int = 2):
@@ -447,11 +470,14 @@ def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int,
     (measured on the rehearsal fixture: Sim(3) ATE 2.69 -> 0.57 m,
     scripts/rehearsal.py --frames 1200).
 
-    Reuses the window machinery unchanged: window_ids with W >= kf_count
-    selects all keyframes, gather_window compacts landmark blocks, and the
-    Schur reduction's dense coupling tensor B is (<=min(W*Op, P), W, 6, d)
-    — ~600 MB at production capacity (512 KF x 512 obs), a one-shot cost
-    that fits v5e HBM comfortably.
+    Solver choice by window size: small windows reuse the dense-Schur
+    machinery unchanged (window_ids + gather_window + ba_solve). Above
+    `_IMPLICIT_MIN_W` keyframes the dense coupling tensor B
+    (N, W, 6, d) stops being representable — at production capacity
+    (W=512, 16,384 point blocks) it is 600 MB unpadded and >16 GB after
+    TPU (6, d)-trailing-dim tiling, a measured round-5 HBM OOM at 22.9 G —
+    so the solve switches to the matrix-free implicit-Schur PCG path
+    (backend/ba_implicit.py), whose memory is O(#observations).
 
     Gauge: `num_fixed` poses frozen. Mono systems pass 2 (same as
     _window_ba): a projective problem has a 7-dim gauge group and fixing
@@ -464,7 +490,14 @@ def _global_ba(m: MapState, cfg: SlamConfig, cam: Camera, W: int, iters: int,
     import dataclasses
 
     bacfg = dataclasses.replace(cfg.ba, gn_iters=iters)
-    out, info = ba_solve(prob, cam, bacfg, num_fixed_poses=num_fixed)
+    if W > _IMPLICIT_MIN_W:
+        from laneslam.backend.ba_implicit import ba_solve_implicit
+
+        out, info = ba_solve_implicit(
+            prob, cam, bacfg, num_fixed_poses=num_fixed, cg_iters=96
+        )
+    else:
+        out, info = ba_solve(prob, cam, bacfg, num_fixed_poses=num_fixed)
     m = ops.scatter_window(m, out, ids, slot_valid, tables)
     return m, info.cost
 
@@ -565,18 +598,37 @@ def _run_pgo_sim3(m: MapState, es: EdgeStore, cfg: SlamConfig):
     factor across the whole span; scale drift that accumulates gradually
     needs a per-node profile).
 
-    Node scales initialize to 1 (the SE(3) map is the current linearization
-    point); odometry edges carry edge_s = 1, loop edges the verified scale.
-    After the solve the per-node similarity corrections are applied to the
-    anchored landmarks (ops.apply_pose_corrections_sim3) and the node
-    scales are FOLDED back into the stored edge measurements — the
-    converged relation is t_meas ~= (1/s_i) R_i^T (t_j - t_i) and
-    s_meas ~= s_j / s_i, so the SE(3)-consistent stored measurement becomes
-    (t_meas * s_i, s_meas * s_i / s_j); the next PGO run re-initializes
-    node scales to 1 and sees a consistent graph.
+    Three safeguards, each answering a measured round-5 production failure
+    (scripts/diag_pgo_consistency.py on the 4,500-frame rehearsal, where
+    the unguarded version warped the map until PnP tracking collapsed):
+
+    - Per-edge SCALE-residual weighting (PgoSim3Problem.edge_scale_w): on
+      a near-chain graph the node scales are the underconstrained
+      direction and soak up translation noise as +-15% oscillation.
+      Odometry edges (consecutive keyframes) are locally scale-consistent,
+      so their log-scale component carries `odo` weight; loop edges keep
+      the verified scale at moderate weight.
+    - Wide sanity clip on applied node scales ([0.2, 5]): a NaN/blowup
+      guard only. A tight clamp is NOT safe here — the poses adopt the
+      solve exactly, so transporting edges with differently-clamped scales
+      would inject false tension (measured: a 0.75 floor against a 0.63
+      solution pushed the recovered chain from 0.11 back to 0.50 RMSE on
+      the next solve).
+    - CHAIN-EDGE RE-MEASUREMENT instead of scale fold-back: after applying
+      the corrections, every consecutive-keyframe edge's stored measurement
+      is recomputed from the corrected poses (edge_s = 1). The previous
+      fold-back (t *= s_i, s *= s_i/s_j) is only exact at r = 0; at partial
+      convergence it baked each solve's scale noise into the stored chain
+      (measured: odometry edges carrying 0.82-1.15 after three solves) and
+      compounded solve over solve. Loop edges are the exception: they KEEP
+      their independently verified measurement (transported by the bounded
+      fold-back) so unconverged loop tension keeps pulling in later solves
+      instead of being erased.
     """
     K = m.kf_T_wc.shape[0]
     live = (jnp.arange(es.edge_i.shape[0]) < es.count).astype(jnp.float32)
+    is_chain = es.edge_j - es.edge_i == 1
+    scale_w = jnp.where(is_chain, 8.0, 1.0)
     prob = PgoSim3Problem(
         T_wc=m.kf_T_wc,
         s_wc=jnp.ones((K,), m.kf_T_wc.dtype),
@@ -586,14 +638,25 @@ def _run_pgo_sim3(m: MapState, es: EdgeStore, cfg: SlamConfig):
         edge_T=es.edge_T,
         edge_s=es.edge_s,
         edge_weight=es.edge_weight * live,
+        edge_scale_w=scale_w,
     )
     out, info = pgo_solve_sim3(prob, cfg.pgo, num_fixed=1, cg_iters=60)
-    m = ops.apply_pose_corrections_sim3(m, out.T_wc, out.s_wc)
-    si = out.s_wc[es.edge_i]
-    sj = out.s_wc[es.edge_j]
+    s_applied = jnp.clip(out.s_wc, 0.2, 5.0)
+    m = ops.apply_pose_corrections_sim3(m, out.T_wc, s_applied)
+    # Chain edges: exact re-measurement from corrected poses.
+    T_rel = se3.inverse(m.kf_T_wc[es.edge_i]) @ m.kf_T_wc[es.edge_j]
+    si = s_applied[es.edge_i]
+    sj = s_applied[es.edge_j]
+    live_m = (jnp.arange(es.edge_i.shape[0]) < es.count) & is_chain
+    # Loop edges: transport the verified measurement into the corrected
+    # frame (t *= s_i, s *= s_i/s_j) — bounded by the clamp above and does
+    # not compound through the chain.
+    T_loop = es.edge_T.at[:, :3, 3].multiply(si[:, None])
     es = es._replace(
-        edge_T=es.edge_T.at[:, :3, 3].multiply(si[:, None]),
-        edge_s=es.edge_s * si / jnp.maximum(sj, 1e-12),
+        edge_T=jnp.where(live_m[:, None, None], T_rel, T_loop),
+        edge_s=jnp.where(
+            live_m, 1.0, es.edge_s * si / jnp.maximum(sj, 1e-12)
+        ),
     )
     return m, es, info.cost
 
@@ -612,6 +675,11 @@ class SlamCarry(NamedTuple):
     frames_since_kf: jnp.ndarray  # i32
     span_min_inl: jnp.ndarray  # i32 (tracking quality over the KF span)
     span_fallbacks: jnp.ndarray  # i32
+    # Consecutive chunks whose LAST frame was a fallback — unlike
+    # span_fallbacks this does NOT reset when a keyframe is inserted, so it
+    # measures sustained tracking loss across bridged keyframes. Gates
+    # new-landmark triangulation (see _slam_chunk's health gate).
+    unhealthy_chunks: jnp.ndarray  # i32
     num_loops: jnp.ndarray  # i32
     ring: MetricsRing
     key: jax.Array
@@ -620,6 +688,86 @@ class SlamCarry(NamedTuple):
 # Plain int (becomes a traced constant at use sites): a module-level device
 # array would die across a tunnel-client reset (runtime/hostsync.py).
 _SPAN_INIT = 10**9
+
+
+def _relocalize(m: MapState, feats: FrameFeatures, vocab, key, cfg: SlamConfig,
+                cam: Camera):
+    """Global relocalization after tracking loss (SURVEY C18; the reference
+    family's ORB-SLAM-style 'relocalisation' state).
+
+    Local tracking (_track) gates matches to a projection radius around the
+    motion-model prediction — once the pose estimate is wrong the gate
+    itself guarantees zero matches, so the tracker can never re-lock on its
+    own. This stage drops the spatial gate entirely: retrieve the most
+    similar keyframe from the device-resident word-histogram DB (one IDF
+    GEMV — the loop-closure machinery, minus the recency exclusions, since
+    the best relocalization candidate is usually RECENT), match the frame's
+    descriptors against that keyframe's observed landmarks, and PnP.
+
+    Returns (T_wc, num_inliers, ok). Runs under a chunk-level lax.cond, so
+    healthy chunks never pay for it.
+    """
+    from laneslam.loop.kfdb import idf_weights
+
+    agg = aggregate_descriptor(feats.point_desc, feats.points.valid, vocab)
+    w = idf_weights(m.kf_agg_desc, m.kf_valid)
+    db = m.kf_agg_desc * w[None, :]
+    db = db / jnp.maximum(jnp.linalg.norm(db, axis=-1, keepdims=True), 1e-12)
+    q = agg * w
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-12)
+    sim = jnp.where(m.kf_valid, db @ q, -1e9)
+    best = jnp.argmax(sim)
+
+    row = m.obs_pt_idx[best]  # (Op,)
+    row_ok = (row >= 0) & m.pt_valid[jnp.maximum(row, 0)]
+    desc = m.pt_desc[jnp.maximum(row, 0)]
+    matches = match_descriptors(
+        feats.point_desc, desc, feats.points.valid, row_ok,
+        ratio=cfg.match.ratio, cross_check=True, allow_pallas=False,
+    )
+    lm = row[jnp.maximum(matches.idx, 0)]
+    X = m.pt_xyz[jnp.maximum(lm, 0)]
+    res = solve_pnp_ransac(
+        cam, X, feats.points.uv, matches.valid, key,
+        num_hypotheses=cfg.frontend.pnp_hypotheses,
+        inlier_px=cfg.frontend.track_inlier_px,
+    )
+    T_wc = se3.inverse(res.T_cw)
+    ok = (
+        (res.num_inliers >= cfg.frontend.reloc_min_inliers)
+        & jnp.all(jnp.isfinite(T_wc))
+    )
+    return T_wc, res.num_inliers, ok
+
+
+_relocalize_jit = jax.jit(_relocalize, static_argnames=("cfg", "cam"))
+
+
+def _np_rot_log(R: np.ndarray) -> np.ndarray:
+    """SO(3) log (numpy, host-side trajectory repair)."""
+    cos = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    th = float(np.arccos(cos))
+    if th < 1e-8:
+        return np.zeros(3, np.float32)
+    v = np.array(
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]], np.float32
+    )
+    return v * (th / (2.0 * np.sin(th)))
+
+
+def _np_rot_exp(w: np.ndarray) -> np.ndarray:
+    th = float(np.linalg.norm(w))
+    if th < 1e-8:
+        return np.eye(3, dtype=np.float32)
+    k = w / th
+    K = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], np.float32
+    )
+    return (
+        np.eye(3, dtype=np.float32)
+        + np.sin(th) * K
+        + (1.0 - np.cos(th)) * (K @ K)
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -682,12 +830,14 @@ def _slam_chunk(
          the scan executes at taken-branch cost EVERY iteration
          (112 ms/frame vs 24 with the cond removed).
 
-    Returns (carry, (packed (N, 36), kf_stats (27,))). packed rows follow
-    _track_step's layout. kf_stats: [0:16] refined last-frame pose,
-    [16] kf_id, [17] new_pts, [18] new_lines, [19] ba_cost0, [20] ba_costN,
-    [21] loop_accepted, [22] loop_cand, [23] loop_inliers, [24] loop_scale,
-    [25] span_fallbacks over the chunk, [26] made_kf (0 when the adaptive
-    gate skipped the keyframe; kf_id/new_* are -1 then).
+    Returns (carry, (packed (N, 36), kf_stats (29,))). packed rows follow
+    _track_step's layout. kf_stats: [0:16] final last-frame pose (refined
+    by BA/PGO and, if it fired, relocalization), [16] kf_id, [17] new_pts,
+    [18] new_lines, [19] ba_cost0, [20] ba_costN, [21] loop_accepted,
+    [22] loop_cand, [23] loop_inliers, [24] loop_scale,
+    [25] span_fallbacks over the chunk, [26] made_kf (0 when the health /
+    adaptive gate skipped the keyframe; kf_id/new_* are -1 then),
+    [27] relocalized, [28] reloc inliers.
     """
     f32 = jnp.float32
     m = carry.m  # constant through the tracking scan
@@ -743,12 +893,12 @@ def _slam_chunk(
             )
             m2, kf_id2, T_rel, n_p, n_l = _make_keyframe_stereo(
                 m, kf_id, feats_last, depths, lm_last, inl_last,
-                T_last, vocab, cfg, cam,
+                T_last, vocab, cfg, cam, allow_new=allow_new,
             )
         else:
             m2, kf_id2, T_rel, n_p, n_l = _make_keyframe(
                 m, kf_id, carry.kf_feats, feats_last, lm_last, inl_last,
-                T_last, vocab, cfg, cam,
+                T_last, vocab, cfg, cam, allow_new=allow_new,
             )
         w = jnp.clip(span_min.astype(f32) / 30.0, 0.15, 1.0)
         w = jnp.maximum(w * 0.3 ** jnp.minimum(span_fb, 4).astype(f32), 0.02)
@@ -796,8 +946,19 @@ def _slam_chunk(
                 lambda: empty_batched_result(cand_ids.shape[0]),
             )
 
+            mono_sim3 = (not stereo) and cfg.pgo.mono_sim3
+
             def _close(ops_):
                 m_, es_ = ops_
+                if not stereo and not mono_sim3:
+                    # Round-4 ablation path: uniform Sim(3) renormalization
+                    # from the best-supported edge, then SE(3) PGO.
+                    s_eff = jnp.where(
+                        jnp.abs(lr.scale - 1.0) > 0.02, lr.scale, 1.0
+                    )
+                    m_, es_ = _apply_loop_scale(
+                        m_, es_, lr.best_cand, kf_id2, s_eff
+                    )
                 # EVERY verified candidate becomes a constraint (multi-pass
                 # intersections close against several old keyframes at
                 # once). Mono edges carry the verified relative scale; the
@@ -807,12 +968,12 @@ def _slam_chunk(
                     es_ = _add_edge(
                         es_, lr.all_cand[c], kf_id2, lr.all_T_rel[c], w_c,
                         enabled=lr.all_accepted[c],
-                        s=lr.all_scale[c] if not stereo else 1.0,
+                        s=lr.all_scale[c] if mono_sim3 else 1.0,
                     )
-                if stereo:
-                    m_, _cost = _run_pgo(m_, es_, cfg)
-                else:
+                if mono_sim3:
                     m_, es_, _cost = _run_pgo_sim3(m_, es_, cfg)
+                else:
+                    m_, _cost = _run_pgo(m_, es_, cfg)
                 return m_, es_
 
             m2, es2 = jax.lax.cond(lr.accepted, _close, lambda o: o, (m2, es2))
@@ -849,18 +1010,87 @@ def _slam_chunk(
             fsk, span_min, span_fb, carry.num_loops, kf_stats,
         )
 
+    # Keyframe HEALTH gate (round 5): a tracking dropout is BRIDGED by
+    # still inserting keyframes (a motion-model pose drifts boundedly, and
+    # the refreshed reference re-seeds descriptor tracking — the round-4
+    # behavior, which weak-texture fixtures depend on), but NEW-LANDMARK
+    # TRIANGULATION stops after 2 consecutive unhealthy chunks: landmarks
+    # triangulated from garbage baselines carry garbage scale that feeds
+    # the next PnP and compounds |t| exponentially (measured: 50 -> 1e11
+    # over 20 lost chunks on the 4,500-frame rehearsal). The counter is
+    # chunk-level and does NOT reset on keyframe insertion — only a healthy
+    # chunk clears it; long losses are relocalization's job (below).
+    # A chunk is unhealthy when MOST of its frames found ZERO PnP inliers —
+    # total map disagreement, the death-spiral signature. Sparse-but-
+    # consistent tracking (a handful of inliers on weak-texture scenes)
+    # must NOT trip the LOST state: those frames still localize roughly,
+    # and the refreshed keyframes are what re-seed tracking (round-4
+    # behavior the corridor fixtures depend on).
+    chunk_healthy = jnp.mean((packed[:, 32] < 1.0).astype(f32)) < 0.7
+    unhealthy2 = jnp.where(
+        chunk_healthy, 0, carry.unhealthy_chunks + 1
+    ).astype(jnp.int32)
+    allow_new = carry.unhealthy_chunks < 2
+    # Past the bridge budget the tracker is LOST: no keyframes at all —
+    # garbage keyframes would enter the retrieval DB and outrank the
+    # healthy keyframes of the same (revisited) view, starving
+    # relocalization of its PnP support.
+    not_lost = unhealthy2 < 2
     if cfg.frontend.chunk_adaptive_kf:
-        outs = jax.lax.cond(want_kf, _backend, _skip)
+        outs = jax.lax.cond(want_kf & not_lost, _backend, _skip)
     else:
-        # Fixed cadence (default): the backend block inlines unconditionally
-        # — identical program to round 4, no second branch compiled.
-        outs = _backend()
+        # Fixed cadence (default): one keyframe every non-lost chunk.
+        outs = jax.lax.cond(not_lost, _backend, _skip)
     (m2, es2, kf_id2, kf_feats2, T_after, fsk2, span_min2, span_fb2,
      nloops, kf_stats) = outs
+
+    # Relocalization stage (tracking-loss recovery, SURVEY C18): once the
+    # consecutive-fallback count crosses the threshold, try to re-lock
+    # against the keyframe database. Cond-gated — healthy chunks skip it.
+    # Trigger uses the SCAN's fallback count (span_fb) plus the sustained
+    # unhealthy-chunk counter — span_fb2 is post-backend and resets to 0
+    # whenever a keyframe was inserted, which under fixed cadence is every
+    # chunk (so it alone would never trip).
+    reloc_stat = jnp.zeros((2,), f32)
+    if cfg.frontend.reloc_after > 0:
+        key, k_rel = jax.random.split(key)
+        lost = (span_fb >= cfg.frontend.reloc_after) | (unhealthy2 >= 2)
+
+        def _try_reloc(args):
+            T_c, lrel, fsk_, smin, sfb = args
+            T_new, n_inl_r, ok = _relocalize(m2, feats_last, vocab, k_rel, cfg, cam)
+            T_c = jnp.where(ok, T_new, T_c)
+            lrel = jnp.where(ok, jnp.eye(4, dtype=f32), lrel)
+            # Force a keyframe on the next healthy chunk: the re-locked
+            # span needs fresh map support immediately.
+            fsk_ = jnp.where(
+                ok, jnp.asarray(cfg.frontend.kf_max_interval, jnp.int32), fsk_
+            )
+            smin = jnp.where(ok, jnp.asarray(_SPAN_INIT, jnp.int32), smin)
+            sfb = jnp.where(ok, 0, sfb)
+            return T_c, lrel, fsk_, smin, sfb, jnp.stack(
+                [ok.astype(f32), n_inl_r.astype(f32)]
+            )
+
+        def _no_reloc(args):
+            T_c, lrel, fsk_, smin, sfb = args
+            return T_c, lrel, fsk_, smin, sfb, jnp.zeros((2,), f32)
+
+        (T_after, last_rel, fsk2, span_min2, span_fb2, reloc_stat) = jax.lax.cond(
+            lost, _try_reloc, _no_reloc,
+            (T_after, last_rel, fsk2, span_min2, span_fb2),
+        )
+    # kf_stats[0:16] must reflect the FINAL pose (ingest uses it for the
+    # last frame's trajectory entry); [27:29] = (relocalized?, inliers).
+    kf_stats = jnp.concatenate(
+        [T_after.reshape(-1), kf_stats[16:], reloc_stat]
+    )
+    unhealthy2 = jnp.where(reloc_stat[0] > 0, 0, unhealthy2)
     c2 = SlamCarry(
         m=m2, es=es2, kf_feats=kf_feats2, T_cur=T_after, last_rel=last_rel,
         kf_id=kf_id2, frames_since_kf=fsk2,
         span_min_inl=span_min2, span_fallbacks=span_fb2,
+        unhealthy_chunks=unhealthy2,
         num_loops=nloops, ring=ring, key=key,
     )
     return c2, (packed, kf_stats)
@@ -923,6 +1153,7 @@ class SlamSystem:
         # 0.71 -> 0.87 until the bad edge was down-weighted; 0.41 after).
         self._span_min_inl = 10 ** 9
         self._span_fallbacks = 0
+        self._unhealthy_chunks = 0
         self._kf_id_host = -1
         self.metrics_ring = _fresh_ring()
         self.rectify = rectify
@@ -1103,6 +1334,33 @@ class SlamSystem:
         stat = {"inliers": n_inl_i, "tracked": n_tracked,
                 "kf": make_kf or fallback}
 
+        # Tracking-loss recovery (same stage as the chunk path; see
+        # _relocalize). The per-frame path pays one extra dispatch only on
+        # lost frames.
+        if (
+            cfg.frontend.reloc_after > 0
+            and self._span_fallbacks >= cfg.frontend.reloc_after
+            and self.bootstrapped
+        ):
+            T_new, n_inl_r, ok = _relocalize_jit(
+                self.map, feats, self._vocab, self._split(), cfg, cam
+            )
+            if bool(np.asarray(ok)):
+                self.T_cur = T_new
+                self._last_rel = jnp.eye(4)
+                self._span_fallbacks = 0
+                self._span_min_inl = _SPAN_INIT
+                self._unhealthy_chunks = 0
+                self.frames_since_kf = cfg.frontend.kf_max_interval
+                self.poses[-1] = np.asarray(T_new, np.float32)
+                stat["reloc"] = True
+                stat["reloc_inliers"] = int(np.asarray(n_inl_r))
+                self.stats.append(stat)
+                self.frame_refs.append((-1, self.poses[-1]))
+                self._repair_lost_span()
+                self._maybe_sync()
+                return self.poses[-1]
+
         if make_kf:
             if self.stereo and depths is not None:
                 m, kf_id, T_rel, n_new_p, n_new_l = _make_keyframe_stereo(
@@ -1193,6 +1451,14 @@ class SlamSystem:
                     # edges carry the verified relative scale and solve over
                     # Sim(3) (_run_pgo_sim3) — scale drift distributes along
                     # the chain instead of a uniform span renormalization.
+                    mono_sim3 = (not self.stereo) and cfg.pgo.mono_sim3
+                    if not self.stereo and not mono_sim3:
+                        s_eff = jnp.where(
+                            jnp.abs(lr.scale - 1.0) > 0.02, lr.scale, 1.0
+                        )
+                        self.map, self.edges = _apply_loop_scale(
+                            self.map, self.edges, lr.best_cand, kf_id, s_eff
+                        )
                     for c in range(int(lr.all_accepted.shape[0])):
                         w_c = jnp.clip(
                             lr.all_inliers[c].astype(jnp.float32) / 12.0, 1.5, 6.0
@@ -1200,14 +1466,14 @@ class SlamSystem:
                         self.edges = _add_edge(
                             self.edges, lr.all_cand[c], kf_id, lr.all_T_rel[c],
                             w_c, enabled=lr.all_accepted[c],
-                            s=lr.all_scale[c] if not self.stereo else 1.0,
+                            s=lr.all_scale[c] if mono_sim3 else 1.0,
                         )
-                    if self.stereo:
-                        self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
-                    else:
+                    if mono_sim3:
                         self.map, self.edges, pgo_cost = _run_pgo_sim3(
                             self.map, self.edges, cfg
                         )
+                    else:
+                        self.map, pgo_cost = _run_pgo(self.map, self.edges, cfg)
                     self.T_cur = self.map.kf_T_wc[kf_id]
                     self.poses[-1] = np.asarray(self.T_cur, np.float32)
                     self.num_loops += int(lr_arr[4:].sum())
@@ -1290,6 +1556,7 @@ class SlamSystem:
                 jnp.asarray(self._span_min_inl, jnp.int32), 10**9
             ),
             span_fallbacks=jnp.asarray(self._span_fallbacks, jnp.int32),
+            unhealthy_chunks=jnp.asarray(self._unhealthy_chunks, jnp.int32),
             num_loops=nl,
             ring=self.metrics_ring, key=self.key,
         )
@@ -1324,6 +1591,7 @@ class SlamSystem:
         self.frames_since_kf = carry.frames_since_kf
         self._span_min_inl = carry.span_min_inl
         self._span_fallbacks = carry.span_fallbacks
+        self._unhealthy_chunks = carry.unhealthy_chunks
         self.metrics_ring = carry.ring
         self.key = carry.key
         self._num_loops_dev = carry.num_loops
@@ -1350,9 +1618,10 @@ class SlamSystem:
         the adaptive chunk cadence."""
         kf_before = self._kf_id_host  # chunk-start keyframe id
         made_kf = ks[26] > 0
+        relocd = ks.shape[0] > 27 and ks[27] > 0
         kf_after = int(ks[16]) if made_kf else kf_before
         poses = arr[:, :16].reshape(-1, 4, 4).astype(np.float32)
-        if made_kf:
+        if made_kf or relocd:
             poses[-1] = ks[:16].reshape(4, 4).astype(np.float32)  # refined
         for f, (r, pose) in enumerate(zip(arr, poses)):
             self.poses.append(pose)
@@ -1371,14 +1640,64 @@ class SlamSystem:
                     stat["loop"] = int(ks[22])
                     stat["loop_inliers"] = int(ks[23])
                     stat["loop_scale"] = float(ks[24])
-                self.frame_refs.append((kf_after, np.eye(4, dtype=np.float32)))
+                if relocd:
+                    # Keyframe AND relocalization in one chunk (a bridge
+                    # keyframe preceded the re-lock): the final pose is the
+                    # reloc solve, not the keyframe's — store it raw.
+                    stat["reloc"] = True
+                    stat["reloc_inliers"] = int(ks[28])
+                    self.frame_refs.append((-1, poses[-1]))
+                else:
+                    self.frame_refs.append(
+                        (kf_after, np.eye(4, dtype=np.float32))
+                    )
+            elif last and relocd:
+                # Relocalized without a keyframe: the pose is absolute (the
+                # PnP re-lock), not relative to any keyframe — store it raw.
+                stat["reloc"] = True
+                stat["reloc_inliers"] = int(ks[28])
+                self.frame_refs.append((-1, poses[-1]))
             else:
                 self.frame_refs.append(
                     (kf_before, r[16:32].reshape(4, 4).astype(np.float32))
                 )
             self.stats.append(stat)
         self._kf_id_host = kf_after
+        if relocd:
+            self._repair_lost_span()
         return poses
+
+    def _repair_lost_span(self) -> None:
+        """After a successful relocalization, rewrite the lost span's poses.
+
+        Frames tracked with ZERO PnP inliers carry motion-model poses that
+        can be arbitrarily far off (one measured excursion reached 5e7
+        before the LOST state caught it); leaving them in the trajectory
+        destroys the Sim(3) ATE alignment for the whole run. The standard
+        treatment of tracking-lost frames is interpolation between the last
+        localized pose and the re-localized one — geodesic in SE(3) (linear
+        translation, slerp rotation), stored as raw (keyframe-independent)
+        trajectory entries.
+        """
+        end = len(self.poses) - 1  # the relocalized frame
+        a = end - 1
+        floor = max(0, end - 600)
+        while a > floor and self.stats[a].get("inliers", 0) == 0:
+            a -= 1
+        if a >= end - 1:
+            return
+        Ta, Tb = self.poses[a], self.poses[end]
+        Ra, ta = Ta[:3, :3], Ta[:3, 3]
+        Rb, tb = Tb[:3, :3], Tb[:3, 3]
+        w = _np_rot_log(Ra.T @ Rb)
+        n = end - a
+        for k in range(1, n):
+            al = k / n
+            T = np.eye(4, dtype=np.float32)
+            T[:3, :3] = Ra @ _np_rot_exp(al * w)
+            T[:3, 3] = (1.0 - al) * ta + al * tb
+            self.poses[a + k] = T
+            self.frame_refs[a + k] = (-1, T)
 
     def global_ba(self, iters: int = 12) -> float:
         """Full-map bundle adjustment over ALL keyframes (see _global_ba).
@@ -1463,6 +1782,7 @@ class SlamSystem:
             jnp.asarray(self.frames_since_kf, jnp.int32),
             jnp.asarray(self._span_min_inl, jnp.int32),
             jnp.asarray(self._span_fallbacks, jnp.int32),
+            jnp.asarray(self._unhealthy_chunks, jnp.int32),
         )
         host = jax.device_get(state)
         hostsync.reset_client(retain_executables=True)
@@ -1470,6 +1790,7 @@ class SlamSystem:
             self.map, self.edges, self.kf_feats, self.T_cur, self._last_rel,
             self.kf_id, self.metrics_ring, self.key, self._vocab,
             self.frames_since_kf, self._span_min_inl, self._span_fallbacks,
+            self._unhealthy_chunks,
         ) = jax.device_put(host)
 
     def trajectory(self) -> np.ndarray:

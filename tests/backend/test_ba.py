@@ -13,7 +13,7 @@ import pytest
 from laneslam.backend.ba import BAProblem, ba_solve, ba_solve_unreduced
 from laneslam.config import BaConfig
 from laneslam.geometry import se3, so3
-from laneslam.geometry.camera import project_points
+from laneslam.geometry.camera import Camera, project_points
 from laneslam.geometry.lines import plucker_from_endpoints, plucker_normalize
 
 from laneslam.testing import (

@@ -60,3 +60,31 @@ def test_global_ba_direct_call_idempotent_shapewise():
     # cost (LM accept/reject is monotone).
     assert c2 <= c1 * 1.01 + 1e-3
     assert np.all(np.isfinite(np.asarray(s.map.kf_T_wc)))
+
+
+@pytest.mark.slow
+def test_global_ba_implicit_path_large_window():
+    """W above system._IMPLICIT_MIN_W routes to the matrix-free
+    implicit-Schur solver (backend/ba_implicit.py) — the production
+    global-BA path at rehearsal scale (451 keyframes -> W=512), where the
+    dense coupling tensor OOMs. Checks the routed solve stays finite and
+    does not worsen the robust cost on a padded window."""
+    from laneslam.data.synthetic import make_corridor_scene, render_scene_frame
+    from laneslam.geometry.camera import Camera
+    from laneslam.system import SlamSystem, _IMPLICIT_MIN_W, _global_ba
+
+    scene = make_corridor_scene(seed=4, num_frames=14)
+    cam = Camera(
+        fx=float(scene.cam.fx), fy=float(scene.cam.fy),
+        cx=float(scene.cam.cx), cy=float(scene.cam.cy),
+        width=scene.cam.width, height=scene.cam.height,
+    )
+    s = SlamSystem(SlamConfig(), cam, enable_loop=False, enable_ba=True)
+    for i in range(14):
+        s.process_frame(render_scene_frame(scene, i))
+    W = 2 * _IMPLICIT_MIN_W  # > threshold; padded far past kf_count
+    m2, cost = _global_ba(s.map, s.cfg, s.cam, W, iters=3, num_fixed=2)
+    cost = np.asarray(cost)
+    assert np.all(np.isfinite(np.asarray(m2.kf_T_wc)))
+    assert np.all(np.isfinite(cost))
+    assert cost[-1] <= cost[0] * 1.01 + 1e-3, cost

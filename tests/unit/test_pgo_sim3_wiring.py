@@ -90,12 +90,20 @@ def test_run_pgo_sim3_recovers_chain_and_landmarks():
     lm_err1 = float(np.sqrt(np.mean(np.sum((Xw_out - Xw_true) ** 2, axis=-1))))
     assert lm_err1 < 0.3 * lm_err0, (lm_err0, lm_err1)
 
-    # Edge fold-back: re-solving the folded graph (node scales re-init to 1)
-    # must be a near-no-op — this is what keeps repeated chunk-path PGO runs
-    # from fighting stale-scale measurements.
-    m3, _es3, _ = _run_pgo_sim3(m2, es2, cfg)
-    moved = _pos_rmse(np.asarray(m3.kf_T_wc[:N]), T_out)
-    assert moved < 0.05 * err0, moved
+    # Repeated solves must CONVERGE, not compound (the round-5 production
+    # failure mode): chain edges re-measure to exact consistency after each
+    # application, loop edges keep their verified tension, and the clamped
+    # scale application means a large correction is absorbed over a few
+    # solves. Assert error decreases monotonically-ish and the per-solve
+    # movement shrinks to near-zero.
+    m3, es3, _ = _run_pgo_sim3(m2, es2, cfg)
+    err2 = _pos_rmse(np.asarray(m3.kf_T_wc[:N]), T_gt)
+    assert err2 < err1 + 0.05 * err0, (err1, err2)
+    m4, _es4, _ = _run_pgo_sim3(m3, es3, cfg)
+    err3 = _pos_rmse(np.asarray(m4.kf_T_wc[:N]), T_gt)
+    assert err3 < 0.25 * err0, (err0, err3)
+    moved = _pos_rmse(np.asarray(m4.kf_T_wc[:N]), np.asarray(m3.kf_T_wc[:N]))
+    assert moved < 0.08 * err0, moved
 
 
 def test_run_pgo_sim3_identity_scales_matches_se3_behavior():
